@@ -1,0 +1,168 @@
+"""Log-mel spectrogram frontend, TPU-native.
+
+Replaces the reference's host-side `processor.feature_extractor` hot loop
+(/root/reference/src/data/dataset.py:124-134, one CPU call per utterance in
+DataLoader workers) with an on-device, batched, MXU-mapped pipeline:
+
+    audio [B, 480000] --reflect pad--> conv1d with a windowed-DFT basis
+    (402 filters = cos/sin x 201 bins, stride=hop) --> |.|^2 --> mel
+    filterbank matmul --> log10 --> per-clip dynamic-range clamp --> scale.
+
+The STFT is expressed as a strided convolution whose kernels are
+`hann_window * DFT basis`, so XLA lowers the whole frontend to two large
+GEMMs plus fused elementwise ops — no FFT primitive, no host round-trip.
+Numerics match HF's WhisperFeatureExtractor (hann periodic window,
+n_fft=400, hop=160, power=2, slaney mel, log10, max-8 clamp, (x+4)/4),
+which is what the reference's data path produces.
+
+A fused Pallas kernel variant lives in `sar_tpu.ops.mel_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_SECONDS = 30
+N_SAMPLES = SAMPLE_RATE * CHUNK_SECONDS       # 480_000
+N_FRAMES = N_SAMPLES // HOP_LENGTH            # 3000
+N_FREQS = N_FFT // 2 + 1                      # 201
+
+
+def hertz_to_mel(freq: np.ndarray) -> np.ndarray:
+    """Slaney-scale hertz->mel (linear below 1 kHz, log above)."""
+    freq = np.asarray(freq, dtype=np.float64)
+    min_log_hertz = 1000.0
+    min_log_mel = 15.0
+    logstep = 27.0 / np.log(6.4)
+    mels = 3.0 * freq / 200.0
+    log_region = freq >= min_log_hertz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(freq, min_log_hertz) / min_log_hertz) * logstep,
+        mels,
+    )
+    return mels
+
+
+def mel_to_hertz(mels: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`hertz_to_mel`."""
+    mels = np.asarray(mels, dtype=np.float64)
+    min_log_hertz = 1000.0
+    min_log_mel = 15.0
+    logstep = np.log(6.4) / 27.0
+    freq = 200.0 * mels / 3.0
+    log_region = mels >= min_log_mel
+    freq = np.where(
+        log_region,
+        min_log_hertz * np.exp(logstep * (np.maximum(mels, min_log_mel) - min_log_mel)),
+        freq,
+    )
+    return freq
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filter_bank(num_mels: int = 80, num_freqs: int = N_FREQS,
+                    sample_rate: int = SAMPLE_RATE,
+                    fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """Triangular slaney-normalized mel filter bank, shape [num_freqs, num_mels].
+
+    Built from first principles (no librosa); matches the filters Whisper's
+    feature extractor uses.
+    """
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, num_freqs)
+    mel_pts = np.linspace(hertz_to_mel(fmin), hertz_to_mel(fmax), num_mels + 2)
+    filter_freqs = mel_to_hertz(mel_pts)
+
+    filter_diff = np.diff(filter_freqs)
+    slopes = filter_freqs[None, :] - fft_freqs[:, None]          # [F, M+2]
+    down = -slopes[:, :-2] / filter_diff[:-1]
+    up = slopes[:, 2:] / filter_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))                   # [F, M]
+
+    # Slaney energy normalization.
+    enorm = 2.0 / (filter_freqs[2:num_mels + 2] - filter_freqs[:num_mels])
+    fb = fb * enorm[None, :]
+    return fb.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_kernels(n_fft: int = N_FFT) -> np.ndarray:
+    """Windowed DFT basis as conv kernels, shape [n_fft, 2 * n_freqs].
+
+    Column k       = hann(n) * cos(2*pi*k*n/n_fft)   (real part)
+    Column F + k   = hann(n) * -sin(2*pi*k*n/n_fft)  (imag part)
+    """
+    n = np.arange(n_fft, dtype=np.float64)
+    # Periodic hann window (np.hanning(N+1)[:-1]).
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    phase = 2.0 * np.pi * np.outer(n, k) / n_fft                 # [n_fft, F]
+    real = window[:, None] * np.cos(phase)
+    imag = window[:, None] * -np.sin(phase)
+    return np.concatenate([real, imag], axis=1).astype(np.float32)
+
+
+def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
+    """Zero-pad or truncate the last axis to `length` (Whisper's fixed 30 s
+    window; parity with /root/reference/src/data/collate.py:50 semantics)."""
+    cur = audio.shape[-1]
+    if cur >= length:
+        return audio[..., :length]
+    pad = [(0, 0)] * (audio.ndim - 1) + [(0, length - cur)]
+    return jnp.pad(audio, pad)
+
+
+def log_mel_spectrogram(audio: jnp.ndarray, num_mels: int = 80,
+                        dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Batched log-mel features, [B, num_mels, N_FRAMES].
+
+    `audio` is [B, N_SAMPLES] float32 at 16 kHz (use :func:`pad_or_trim`).
+    Output matches HF WhisperFeatureExtractor to ~1e-4 (it computes in
+    float64; we stay in float32 on-device).
+    """
+    if audio.ndim == 1:
+        audio = audio[None]
+    B = audio.shape[0]
+    x = audio.astype(jnp.float32)
+
+    # center=True reflect padding of n_fft//2 on both sides.
+    half = N_FFT // 2
+    x = jnp.pad(x, [(0, 0), (half, half)], mode="reflect")
+
+    # STFT as strided conv with the windowed DFT basis: [B, T, 2F].
+    kernels = jnp.asarray(_dft_kernels())                        # [n_fft, 2F]
+    out = jax.lax.conv_general_dilated(
+        x[:, :, None],                                           # [B, T, 1]
+        kernels[:, None, :],                                     # [n_fft, 1, 2F]
+        window_strides=(HOP_LENGTH,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    out = out[:, :N_FRAMES]                                      # drop the final frame (HF [:, :-1])
+    real, imag = out[..., :N_FREQS], out[..., N_FREQS:]
+    power = real * real + imag * imag                            # [B, T, F]
+
+    fb = jnp.asarray(mel_filter_bank(num_mels))                  # [F, M]
+    mel = jnp.einsum("btf,fm->bmt", power, fb,
+                     preferred_element_type=jnp.float32)         # [B, M, T]
+
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    # Per-clip dynamic range clamp to (max - 8), then (x + 4) / 4.
+    clip_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, clip_max - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return log_spec.astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_mels", "dtype"))
+def log_mel_spectrogram_jit(audio, num_mels: int = 80, dtype=jnp.float32):
+    return log_mel_spectrogram(audio, num_mels=num_mels, dtype=dtype)
