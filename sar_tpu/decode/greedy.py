@@ -1,0 +1,101 @@
+"""KV-cached greedy decoding, compiled end-to-end.
+
+Replaces the substrate generate() the reference calls
+(/root/reference/src/models/whisper_lora.py:145-186, max_new_tokens=256
+greedy default; evaluator at src/evaluation/__init__.py:64-95) with a single
+`lax.while_loop` under jit: static shapes, no per-token host round-trip, and
+early exit once every sequence has emitted EOS. The decoder prompt
+`<|sot|><|lang|><|task|><|notimestamps|>` is fed through the same loop
+(prompt positions force the next token instead of taking the argmax), which
+doubles as forced-token handling. Suppress-token masking is available but off
+by default — the reference explicitly clears suppress lists
+(/root/reference/src/models/base.py:129-131).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sar_tpu.models import whisper
+from sar_tpu.models.config import WhisperConfig
+
+
+def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
+                  prompt_ids: jnp.ndarray, *, max_new_tokens: int = 256,
+                  lora: dict | None = None,
+                  adapter_idx: jnp.ndarray | None = None,
+                  lora_scale: float = 1.0,
+                  suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+    """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
+
+    Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
+    Shapes are static — safe under jit/pjit with no retracing across batches.
+    """
+    B = enc_out.shape[0]
+    if prompt_ids.ndim == 1:
+        prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
+    P = prompt_ids.shape[1]
+    total = min(P + max_new_tokens, cfg.max_target_positions)
+    eos = cfg.eos_token_id
+
+    cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
+                               adapter_idx=adapter_idx, lora_scale=lora_scale)
+
+    tokens = jnp.full((B, total), eos, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
+
+    suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
+
+    def cond(state):
+        pos, _, _, finished = state
+        return (pos < total - 1) & ~jnp.all(finished)
+
+    def body(state):
+        pos, tokens, cache, finished = state
+        logits, cache = whisper.decode_step(
+            params, tokens[:, pos], pos, cache, cfg,
+            lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale)
+        if suppress is not None:
+            logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
+        sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # Prompt positions force the provided token; finished rows emit EOS.
+        in_prompt = pos + 1 < P
+        forced = jax.lax.dynamic_slice_in_dim(
+            tokens, jnp.minimum(pos + 1, total - 1), 1, axis=1)[:, 0]
+        nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        finished = finished | (~in_prompt & (nxt == eos))
+        return pos + 1, tokens, cache, finished
+
+    state = (jnp.int32(0), tokens, cache, jnp.zeros((B,), bool))
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "lora_scale",
+                                             "suppress_ids"))
+def greedy_decode_jit(params, enc_out, cfg, prompt_ids, max_new_tokens=256,
+                      lora=None, adapter_idx=None, lora_scale=1.0,
+                      suppress_ids=()):
+    return greedy_decode(params, enc_out, cfg, prompt_ids,
+                         max_new_tokens=max_new_tokens, lora=lora,
+                         adapter_idx=adapter_idx, lora_scale=lora_scale,
+                         suppress_ids=suppress_ids)
+
+
+def transcribe_tokens(tokens, cfg: WhisperConfig, prompt_len: int) -> list[list[int]]:
+    """Strip prompt and everything from the first EOS; returns per-row id lists
+    (host-side; feed to a tokenizer's decode)."""
+    import numpy as np
+    out = []
+    arr = np.asarray(tokens)
+    for row in arr:
+        body = row[prompt_len:]
+        eos_pos = np.nonzero(body == cfg.eos_token_id)[0]
+        if eos_pos.size:
+            body = body[:eos_pos[0]]
+        out.append(body.tolist())
+    return out

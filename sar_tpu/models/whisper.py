@@ -54,32 +54,48 @@ def linear(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
+class LoraCtx(NamedTuple):
+    """Runtime context for LoRA application, threaded through the layer scan.
+
+    adapter_idx: [B] int32 per-utterance adapter selection, or None for the
+    single-adapter fast path (no gather). scale = alpha / r. dropout/rng
+    implement the reference's lora_dropout (whisper_lora.py:86-94 defaults
+    dropout=0.1) as inverted dropout on the LoRA branch input.
+    """
+    adapter_idx: Any = None
+    scale: float = 1.0
+    dropout: float = 0.0
+    rng: Any = None
+
+
 def lora_delta(x: jnp.ndarray, la: jnp.ndarray, lb: jnp.ndarray,
-               adapter_idx: jnp.ndarray | None, scale: float) -> jnp.ndarray:
+               ctx: LoraCtx, salt: int) -> jnp.ndarray:
     """Low-rank delta `scale * (x @ A) @ B` with per-utterance adapter gather.
 
     la: [A, d_in, r], lb: [A, r, d_out] (the adapter bank for one layer/target;
-    the leading stack axis is consumed by lax.scan). adapter_idx: [B] int32 or
-    None (None = adapter 0, the single-adapter training fast path with no
-    gather). x: [B, T, d_in].
+    the leading stack axis is consumed by lax.scan). x: [B, T, d_in].
 
     This is the batched BGMV that replaces the reference's per-sample Python
     dispatch loop (/root/reference/src/models/adapter_router.py:599-625).
     """
-    if adapter_idx is None:
+    if ctx.rng is not None and ctx.dropout > 0.0:
+        keep = jax.random.bernoulli(jax.random.fold_in(ctx.rng, salt),
+                                    1.0 - ctx.dropout, x.shape)
+        x = x * keep.astype(x.dtype) / (1.0 - ctx.dropout)
+    if ctx.adapter_idx is None:
         u = jnp.einsum("btd,dr->btr", x, la[0].astype(x.dtype))
-        return scale * jnp.einsum("btr,rd->btd", u, lb[0].astype(x.dtype))
-    la_sel = la[adapter_idx].astype(x.dtype)                     # [B, d, r]
-    lb_sel = lb[adapter_idx].astype(x.dtype)                     # [B, r, d]
+        return ctx.scale * jnp.einsum("btr,rd->btd", u, lb[0].astype(x.dtype))
+    la_sel = la[ctx.adapter_idx].astype(x.dtype)                 # [B, d, r]
+    lb_sel = lb[ctx.adapter_idx].astype(x.dtype)                 # [B, r, d]
     u = jnp.einsum("btd,bdr->btr", x, la_sel)
-    return scale * jnp.einsum("btr,brd->btd", u, lb_sel)
+    return ctx.scale * jnp.einsum("btr,brd->btd", u, lb_sel)
 
 
 def _proj(x: jnp.ndarray, p: Params, lora: Params | None,
-          adapter_idx: jnp.ndarray | None, scale: float) -> jnp.ndarray:
+          ctx: LoraCtx, salt: int = 0) -> jnp.ndarray:
     y = linear(x, p)
     if lora is not None:
-        y = y + lora_delta(x, lora["a"], lora["b"], adapter_idx, scale)
+        y = y + lora_delta(x, lora["a"], lora["b"], ctx, salt)
     return y
 
 
@@ -205,8 +221,8 @@ def param_count(params: Params) -> int:
 def cast_params(params: Params, dtype) -> Params:
     """Cast matmul-heavy weights to `dtype`, keep LayerNorm params fp32."""
     def cast(path, x):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if any(isinstance(p, jax.tree_util.DictKey) and p.key in ("attn_ln", "mlp_ln", "self_ln", "cross_ln", "ln")
+        if any(isinstance(p, jax.tree_util.DictKey)
+               and p.key in ("attn_ln", "mlp_ln", "self_ln", "cross_ln", "ln")
                for p in path):
             return x
         return x.astype(dtype)
@@ -217,24 +233,33 @@ def cast_params(params: Params, dtype) -> Params:
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _enc_layer_apply(x, p, lora, adapter_idx, lora_scale, num_heads):
+def _enc_layer_apply(x, p, lora, ctx, num_heads):
+    lo = lora or {}
     scaling = (x.shape[-1] // num_heads) ** -0.5
     h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
-    q = _proj(h, p["q"], lora.get("q") if lora else None, adapter_idx, lora_scale) * scaling
-    k = linear(h, p["k"])
-    v = _proj(h, p["v"], lora.get("v") if lora else None, adapter_idx, lora_scale)
+    q = _proj(h, p["q"], lo.get("q"), ctx, 0) * scaling
+    k = _proj(h, p["k"], lo.get("k"), ctx, 1)
+    v = _proj(h, p["v"], lo.get("v"), ctx, 2)
     a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
                   split_heads(v, num_heads))
-    x = x + linear(merge_heads(a), p["o"])
+    x = x + _proj(merge_heads(a), p["o"], lo.get("o"), ctx, 3)
     h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
     h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
     x = x + linear(h, p["fc2"])
     return x
 
 
+def _layer_ctx(ctx: LoraCtx, layer_idx) -> LoraCtx:
+    if ctx.rng is None:
+        return ctx
+    return ctx._replace(rng=jax.random.fold_in(ctx.rng, layer_idx))
+
+
 def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
            lora: Params | None = None, adapter_idx: jnp.ndarray | None = None,
-           lora_scale: float = 1.0, remat: bool = False) -> jnp.ndarray:
+           lora_scale: float = 1.0, lora_dropout: float = 0.0,
+           dropout_rng: jax.Array | None = None,
+           remat: bool = False) -> jnp.ndarray:
     """Encoder forward. mel: [B, num_mel_bins, T_frames] -> [B, T/2, d]."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                                   # [B, T, M]
@@ -253,14 +278,18 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
     T = x.shape[1]
     x = x + enc["pos_embed"][:T].astype(dtype)
 
+    ctx = LoraCtx(adapter_idx, lora_scale, lora_dropout, dropout_rng)
+    enc_lora = lora.get("encoder") if lora else None
+
     def body(carry, xs):
-        p, lo = xs
-        y = _enc_layer_apply(carry, p, lo, adapter_idx, lora_scale, cfg.encoder_heads)
+        p, lo, li = xs
+        y = _enc_layer_apply(carry, p, lo, _layer_ctx(ctx, li), cfg.encoder_heads)
         return y, None
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (enc["layers"], lora))
+    x, _ = jax.lax.scan(body, x, (enc["layers"], enc_lora,
+                                  jnp.arange(cfg.encoder_layers)))
     return layer_norm(x, enc["ln"]["scale"], enc["ln"]["bias"])
 
 
@@ -268,26 +297,25 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
 # Decoder (teacher-forced)
 # ---------------------------------------------------------------------------
 
-def _dec_layer_apply(x, enc_out, p, lora, adapter_idx, lora_scale, num_heads,
-                     causal_mask):
+def _dec_layer_apply(x, enc_out, p, lora, ctx, num_heads, causal_mask):
     scaling = (x.shape[-1] // num_heads) ** -0.5
     lo = lora or {}
     # Self-attention (causal).
     h = layer_norm(x, p["self_ln"]["scale"], p["self_ln"]["bias"])
-    q = _proj(h, p["self_q"], lo.get("self_q"), adapter_idx, lora_scale) * scaling
-    k = linear(h, p["self_k"])
-    v = _proj(h, p["self_v"], lo.get("self_v"), adapter_idx, lora_scale)
+    q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
+    k = _proj(h, p["self_k"], lo.get("self_k"), ctx, 1)
+    v = _proj(h, p["self_v"], lo.get("self_v"), ctx, 2)
     a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
                   split_heads(v, num_heads), causal_mask)
-    x = x + linear(merge_heads(a), p["self_o"])
+    x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
     # Cross-attention.
     h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
-    q = _proj(h, p["cross_q"], lo.get("cross_q"), adapter_idx, lora_scale) * scaling
-    k = linear(enc_out, p["cross_k"])
-    v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), adapter_idx, lora_scale)
+    q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
+    k = _proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5)
+    v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6)
     a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
                   split_heads(v, num_heads))
-    x = x + linear(merge_heads(a), p["cross_o"])
+    x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
     # MLP.
     h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
     h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
@@ -298,6 +326,7 @@ def _dec_layer_apply(x, enc_out, p, lora, adapter_idx, lora_scale, num_heads,
 def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
                  cfg: WhisperConfig, *, lora: Params | None = None,
                  adapter_idx: jnp.ndarray | None = None, lora_scale: float = 1.0,
+                 lora_dropout: float = 0.0, dropout_rng: jax.Array | None = None,
                  remat: bool = False) -> jnp.ndarray:
     """Teacher-forced decoder forward. tokens: [B, T] -> logits [B, T, V] fp32."""
     dec = params["decoder"]
@@ -305,16 +334,19 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
     T = tokens.shape[1]
     x = dec["token_embed"][tokens].astype(dtype) + dec["pos_embed"][:T].astype(dtype)
     causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    ctx = LoraCtx(adapter_idx, lora_scale, lora_dropout, dropout_rng)
+    dec_lora = lora.get("decoder") if lora else None
 
     def body(carry, xs):
-        p, lo = xs
-        y = _dec_layer_apply(carry, enc_out, p, lo, adapter_idx, lora_scale,
+        p, lo, li = xs
+        y = _dec_layer_apply(carry, enc_out, p, lo, _layer_ctx(ctx, li),
                              cfg.decoder_heads, causal)
         return y, None
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, (dec["layers"], lora))
+    x, _ = jax.lax.scan(body, x, (dec["layers"], dec_lora,
+                                  jnp.arange(cfg.decoder_layers)))
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     return jnp.dot(x, dec["token_embed"].T.astype(dtype),
                    preferred_element_type=jnp.float32)
@@ -375,16 +407,17 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     B = enc_out.shape[0]
     H, hd = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
     dtype = enc_out.dtype
+    ctx = LoraCtx(adapter_idx, lora_scale)
 
     def body(_, xs):
         p, lo = xs
-        k = split_heads(linear(enc_out, p["cross_k"]), H)
-        v = split_heads(
-            _proj(enc_out, p["cross_v"], (lo or {}).get("cross_v"), adapter_idx,
-                  lora_scale), H)
+        lo = lo or {}
+        k = split_heads(_proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5), H)
+        v = split_heads(_proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6), H)
         return None, (k, v)
 
-    _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], lora))
+    _, (ck, cv) = jax.lax.scan(
+        body, None, (dec["layers"], lora.get("decoder") if lora else None))
     S = enc_out.shape[1]
     L = ck.shape[0]
     return DecodeCache(
@@ -414,6 +447,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
 
     pos_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]  # [1,1,1,max]
     scaling = (cfg.d_model // H) ** -0.5
+    ctx = LoraCtx(adapter_idx, lora_scale)
 
     def body(carry, xs):
         x = carry
@@ -421,19 +455,18 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         lo = lo or {}
         # Self-attention against the cache.
         h = layer_norm(x, p["self_ln"]["scale"], p["self_ln"]["bias"])
-        q = _proj(h, p["self_q"], lo.get("self_q"), adapter_idx, lora_scale) * scaling
-        k = split_heads(linear(h, p["self_k"]), H)                # [B,H,1,hd]
-        v = split_heads(_proj(h, p["self_v"], lo.get("self_v"), adapter_idx,
-                              lora_scale), H)
+        q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
+        k = split_heads(_proj(h, p["self_k"], lo.get("self_k"), ctx, 1), H)
+        v = split_heads(_proj(h, p["self_v"], lo.get("self_v"), ctx, 2), H)
         sk = jax.lax.dynamic_update_slice_in_dim(sk, k, pos, axis=2)
         sv = jax.lax.dynamic_update_slice_in_dim(sv, v, pos, axis=2)
         a = attention(split_heads(q, H), sk, sv, pos_mask)
-        x = x + linear(merge_heads(a), p["self_o"])
+        x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
         # Cross-attention against precomputed K/V.
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
-        q = _proj(h, p["cross_q"], lo.get("cross_q"), adapter_idx, lora_scale) * scaling
+        q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
         a = attention(split_heads(q, H), ck, cv)
-        x = x + linear(merge_heads(a), p["cross_o"])
+        x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
         # MLP.
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
         h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
@@ -442,8 +475,8 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
 
     x, (new_sk, new_sv) = jax.lax.scan(
         body, x,
-        (dec["layers"], lora, cache.self_k, cache.self_v,
-         cache.cross_k, cache.cross_v))
+        (dec["layers"], lora.get("decoder") if lora else None,
+         cache.self_k, cache.self_v, cache.cross_k, cache.cross_v))
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     logits = jnp.dot(x[:, 0], dec["token_embed"].T.astype(dtype),
                      preferred_element_type=jnp.float32)

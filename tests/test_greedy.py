@@ -1,0 +1,83 @@
+"""Compiled greedy decode vs a naive recompute-everything reference loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sar_tpu.decode import greedy_decode, transcribe_tokens
+from sar_tpu.models import whisper
+from sar_tpu.models.config import get_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _naive_greedy(params, enc_out, cfg, prompt, total):
+    """Recompute the full teacher-forced pass each step (no cache)."""
+    B = enc_out.shape[0]
+    toks = np.tile(np.asarray(prompt, np.int32)[None], (B, 1))
+    finished = np.zeros((B,), bool)
+    while toks.shape[1] < total:
+        logits = whisper.decode_train(params, enc_out, jnp.asarray(toks), cfg)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1), np.int32)
+        nxt = np.where(finished, cfg.eos_token_id, nxt)
+        finished |= nxt == cfg.eos_token_id
+        toks = np.concatenate([toks, nxt[:, None]], axis=1)
+        if finished.all():
+            break
+    # Pad to total with EOS for comparison.
+    pad = total - toks.shape[1]
+    if pad:
+        toks = np.pad(toks, [(0, 0), (0, pad)], constant_values=cfg.eos_token_id)
+    return toks
+
+
+def test_greedy_matches_naive(setup, rng):
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    enc_out = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+    out = greedy_decode(params, enc_out, cfg, prompt, max_new_tokens=12)
+    naive = _naive_greedy(params, enc_out, cfg, cfg.prompt_ids("hindi"),
+                          out.shape[1])
+    np.testing.assert_array_equal(np.asarray(out), naive)
+
+
+def test_greedy_respects_max_target_positions(setup, rng):
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((1, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    enc_out = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("telugu"), jnp.int32)
+    out = greedy_decode(params, enc_out, cfg, prompt, max_new_tokens=10_000)
+    assert out.shape[1] <= cfg.max_target_positions
+
+
+def test_transcribe_tokens_strips_prompt_and_eos(setup):
+    cfg, _ = setup
+    row = [4, 5, 105, 106, 42, 43, 44, cfg.eos_token_id, cfg.eos_token_id]
+    ids = transcribe_tokens(np.asarray([row]), cfg, prompt_len=4)
+    assert ids == [[42, 43, 44]]
+
+
+def test_greedy_under_jit(setup, rng):
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    prompt = jnp.asarray(cfg.prompt_ids("italian"), jnp.int32)
+
+    @jax.jit
+    def run(params, mel):
+        enc_out = whisper.encode(params, mel, cfg)
+        return greedy_decode(params, enc_out, cfg, prompt, max_new_tokens=8)
+
+    out = run(params, mel)
+    eager = greedy_decode(params, whisper.encode(params, mel, cfg), cfg, prompt,
+                          max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(eager))
