@@ -1,0 +1,85 @@
+"""Data loading: shuffled epochs, collation, background prefetch.
+
+Replaces the reference's torch DataLoader(num_workers=4, pin_memory=True)
+(/root/reference/scripts/train_lora.py:193-209) with a dependency-free loader:
+a shuffled index stream over a list-like dataset, collated on a background
+thread so host-side batch prep overlaps device compute (the TPU analogue of
+pinned-memory prefetch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import numpy as np
+
+
+class DataLoader:
+    """Step-oriented loader: iterate() yields collated batches forever
+    (reshuffling each epoch); one_epoch() yields a single pass."""
+
+    def __init__(self, dataset, batch_size: int, collator: Callable,
+                 shuffle: bool = True, seed: int = 42, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collator = collator
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def _epoch_batches(self, epoch: int) -> Iterator[dict]:
+        idx = self._epoch_indices(epoch)
+        B = self.batch_size
+        end = (len(idx) // B) * B if self.drop_last else len(idx)
+        for s in range(0, end, B):
+            chunk = idx[s:s + B]
+            if self.drop_last and len(chunk) < B:
+                break
+            yield self.collator([self.dataset[int(i)] for i in chunk])
+
+    def one_epoch(self, epoch: int = 0) -> Iterator[dict]:
+        yield from self._prefetched(self._epoch_batches(epoch))
+
+    def iterate(self) -> Iterator[dict]:
+        def gen():
+            epoch = 0
+            while True:
+                yield from self._epoch_batches(epoch)
+                epoch += 1
+        yield from self._prefetched(gen())
+
+    def _prefetched(self, it: Iterator[dict]) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from it
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        return n if self.drop_last else -(-len(self.dataset) // self.batch_size)

@@ -353,10 +353,14 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
 
 
 def forward(params: Params, mel: jnp.ndarray, tokens: jnp.ndarray,
-            cfg: WhisperConfig, **kw) -> jnp.ndarray:
+            cfg: WhisperConfig, *, dropout_rng: jax.Array | None = None,
+            **kw) -> jnp.ndarray:
     """Full teacher-forced forward: mel + decoder input tokens -> logits."""
-    enc_out = encode(params, mel, cfg, **kw)
-    return decode_train(params, enc_out, tokens, cfg, **kw)
+    enc_rng = dec_rng = None
+    if dropout_rng is not None:
+        enc_rng, dec_rng = jax.random.split(dropout_rng)
+    enc_out = encode(params, mel, cfg, dropout_rng=enc_rng, **kw)
+    return decode_train(params, enc_out, tokens, cfg, dropout_rng=dec_rng, **kw)
 
 
 def shift_tokens_right(labels: jnp.ndarray, start_token_id: int,

@@ -1,0 +1,238 @@
+"""ASR LoRA trainer — the reference's training loop, compiled.
+
+Capability parity with /root/reference/src/training/trainer.py (ASRTrainer):
+step-based training to `max_steps`, an initial evaluation at step 0
+(trainer.py:218-223), gradient accumulation, global-norm clipping, the
+linear/cosine/constant warmup schedules, periodic evaluation with full greedy
+generation + WER/CER, callback hooks, and best/periodic checkpointing.
+
+TPU-first differences:
+- the whole optimizer step — `grad_accum` microbatches scanned, gradients
+  averaged, AdamW update — is ONE jitted, buffer-donated XLA program; the
+  host loop only feeds batches and logs.
+- mixed precision is bf16 compute with fp32 LoRA master weights (no loss
+  scaler needed — the reference's fp16 GradScaler path, trainer.py:84-91,
+  maps to bf16 on TPU).
+- a training "step" is an optimizer update (scheduler-aligned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_tpu.decode import greedy_decode, transcribe_tokens
+from sar_tpu.models import lora as lora_lib
+from sar_tpu.models import whisper
+from sar_tpu.models.config import WhisperConfig
+from sar_tpu.training import checkpoints
+from sar_tpu.training.metrics import compute_metrics
+from sar_tpu.training.optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainingArgs:
+    """Defaults mirror /root/reference/scripts/train_lora.py:32-110."""
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 500
+    max_steps: int = 5000
+    eval_steps: int = 1000
+    scheduler: str = "linear"              # linear | cosine | constant
+    mixed_precision: str = "bf16"          # bf16 | fp16 (-> bf16) | no
+    gradient_accumulation_steps: int = 4
+    max_grad_norm: float = 1.0
+    max_new_tokens: int = 256
+    gradient_checkpointing: bool = True
+    seed: int = 42
+
+
+class ASRTrainer:
+    """Trains a LoRA adapter (bank) on a frozen Whisper base."""
+
+    def __init__(self, model_cfg: WhisperConfig, base_params: dict,
+                 lora: dict, lora_cfg: lora_lib.LoraConfig,
+                 args: TrainingArgs | None = None, tokenizer=None,
+                 language: str = "hindi", callbacks: list | None = None):
+        self.cfg = model_cfg
+        self.args = args or TrainingArgs()
+        self.lora_cfg = lora_cfg
+        self.tokenizer = tokenizer
+        self.language = language
+        self.callbacks = callbacks or []
+
+        compute = (jnp.bfloat16 if self.args.mixed_precision in ("bf16", "fp16")
+                   else jnp.float32)
+        self.compute_dtype = compute
+        self.base_params = (whisper.cast_params(base_params, compute)
+                            if compute != jnp.float32 else base_params)
+        self.lora = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), lora)
+
+        self.tx, self.schedule = make_optimizer(
+            learning_rate=self.args.learning_rate,
+            weight_decay=self.args.weight_decay,
+            warmup_steps=self.args.warmup_steps,
+            max_steps=self.args.max_steps,
+            scheduler=self.args.scheduler,
+            max_grad_norm=self.args.max_grad_norm)
+        self.opt_state = self.tx.init(self.lora)
+
+        self.global_step = 0
+        self.epoch = 0
+        self.best_metric: float | None = None
+        self._rng = jax.random.PRNGKey(self.args.seed)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        cfg, lora_cfg, args = self.cfg, self.lora_cfg, self.args
+        dtype = self.compute_dtype
+
+        def loss_fn(lora, base_params, mel, labels, rng):
+            dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
+                                                cfg.pad_token_id)
+            logits = whisper.forward(
+                base_params, mel.astype(dtype), dec_in, cfg, lora=lora,
+                lora_scale=lora_cfg.scale, lora_dropout=lora_cfg.dropout,
+                dropout_rng=rng, remat=args.gradient_checkpointing)
+            return whisper.cross_entropy_loss(logits, labels)
+
+        def train_step(lora, opt_state, base_params, mels, labels, rng):
+            """mels: [A, B, M, T]; labels: [A, B, L] — A = accumulation."""
+            A = mels.shape[0]
+            rngs = jax.random.split(rng, A)
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                mel, lab, r = xs
+                loss, g = jax.value_and_grad(loss_fn)(lora, base_params,
+                                                      mel, lab, r)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + loss), None
+
+            zeros = jax.tree.map(jnp.zeros_like, lora)
+            (g, loss), _ = jax.lax.scan(micro, (zeros, 0.0),
+                                        (mels, labels, rngs))
+            g = jax.tree.map(lambda x: x / A, g)
+            updates, opt_state = self.tx.update(g, opt_state, lora)
+            lora = jax.tree.map(
+                lambda p, u: p + u.astype(p.dtype), lora, updates)
+            gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                                 for x in jax.tree.leaves(g)))
+            return lora, opt_state, loss / A, gnorm
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_step(lora, base_params, mel, labels, prompt):
+            mel = mel.astype(dtype)
+            enc_out = whisper.encode(base_params, mel, cfg, lora=lora,
+                                     lora_scale=lora_cfg.scale)
+            dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
+                                                cfg.pad_token_id)
+            logits = whisper.decode_train(base_params, enc_out, dec_in, cfg,
+                                          lora=lora, lora_scale=lora_cfg.scale)
+            loss = whisper.cross_entropy_loss(logits, labels)
+            tokens = greedy_decode(base_params, enc_out, cfg, prompt,
+                                   max_new_tokens=args.max_new_tokens,
+                                   lora=lora, lora_scale=lora_cfg.scale)
+            return loss, tokens
+
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def train(self, train_loader, eval_loader=None) -> dict:
+        args = self.args
+        for cb in self.callbacks:
+            cb.on_train_begin(self)
+
+        history: dict[str, Any] = {"loss": [], "eval": []}
+        if eval_loader is not None:
+            metrics = self.evaluate(eval_loader)
+            history["eval"].append({"step": self.global_step, **metrics})
+
+        batch_iter = train_loader.iterate()
+        accum = args.gradient_accumulation_steps
+        t0 = time.time()
+        while self.global_step < args.max_steps:
+            for cb in self.callbacks:
+                cb.on_step_begin(self, self.global_step)
+            micro = [next(batch_iter) for _ in range(accum)]
+            mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
+            labels = jnp.asarray(np.stack([b["labels"] for b in micro]))
+            self._rng, step_rng = jax.random.split(self._rng)
+            self.lora, self.opt_state, loss, gnorm = self._train_step(
+                self.lora, self.opt_state, self.base_params, mels, labels,
+                step_rng)
+            self.global_step += 1
+            logs = {"loss": float(loss),
+                    "learning_rate": float(self.schedule(self.global_step)),
+                    "grad_norm": float(gnorm)}
+            history["loss"].append(logs["loss"])
+            for cb in self.callbacks:
+                cb.on_step_end(self, self.global_step, logs)
+            if self.global_step % 50 == 0 or self.global_step == 1:
+                rate = self.global_step / (time.time() - t0)
+                logger.info("step %d/%d loss=%.4f lr=%.2e (%.2f steps/s)",
+                            self.global_step, args.max_steps, logs["loss"],
+                            logs["learning_rate"], rate)
+
+            if eval_loader is not None and args.eval_steps \
+                    and self.global_step % args.eval_steps == 0:
+                metrics = self.evaluate(eval_loader)
+                history["eval"].append({"step": self.global_step, **metrics})
+                if any(getattr(cb, "should_stop", False) for cb in self.callbacks):
+                    logger.info("early stop at step %d", self.global_step)
+                    break
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        return history
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_loader) -> dict:
+        for cb in self.callbacks:
+            cb.on_evaluate_begin(self)
+        prompt = jnp.asarray(self.cfg.prompt_ids(self.language), jnp.int32)
+        losses, preds, refs = [], [], []
+        for batch in eval_loader.one_epoch():
+            loss, tokens = self._eval_step(
+                self.lora, self.base_params,
+                jnp.asarray(batch["input_features"]),
+                jnp.asarray(batch["labels"]), prompt)
+            losses.append(float(loss))
+            ids = transcribe_tokens(tokens, self.cfg, prompt_len=prompt.shape[0])
+            if self.tokenizer is not None:
+                preds.extend(self.tokenizer.decode(row) for row in ids)
+                refs.extend(batch["texts"])
+        metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
+                   "num_samples": len(refs)}
+        if preds:
+            metrics.update(compute_metrics(preds, refs))
+        logger.info("eval @ step %d: %s", self.global_step,
+                    {k: (round(v, 4) if isinstance(v, float) else v)
+                     for k, v in metrics.items()})
+        for cb in self.callbacks:
+            cb.on_evaluate_end(self, metrics)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str | Path) -> None:
+        checkpoints.save_checkpoint(
+            path, self.lora, self.lora_cfg, self.opt_state,
+            self.global_step, self.epoch, self.best_metric,
+            metadata={"language": self.language, "model": self.cfg.name})
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        (self.lora, self.lora_cfg, _, self.opt_state, self.global_step,
+         self.epoch, self.best_metric) = checkpoints.load_checkpoint(
+            path, self.tx.init(self.lora))
+        self._build_steps()
