@@ -66,3 +66,17 @@ def create_collator(decoder_start_token_id: int, with_language: bool = False,
     """Factory, parity with /root/reference/src/data/collate.py:107-130."""
     return SpeechCollator(decoder_start_token_id=decoder_start_token_id,
                           with_language=with_language, **kw)
+
+
+class LIDCollator:
+    """Stacks fixed-shape mel features + language labels for LID training
+    (parity with /root/reference/scripts/train_router.py:151-169; no padding
+    needed — Whisper mels are fixed shape)."""
+
+    def __call__(self, items: list[dict]) -> dict:
+        return {
+            "input_features": np.stack(
+                [np.asarray(it["input_features"], np.float32) for it in items]),
+            "language_ids": np.asarray(
+                [it["language_id"] for it in items], np.int32),
+        }

@@ -51,9 +51,15 @@ class SyntheticASRDataset:
 
     def _render(self, words: list[str], n_frames: int, rng) -> np.ndarray:
         mel = rng.standard_normal((self.cfg.num_mel_bins, n_frames)).astype(np.float32) * 0.05
+        # Persistent per-language "accent band" so LID signal survives pooling.
+        accent = (3 * self.language_id) % self.cfg.num_mel_bins
+        mel[accent:accent + 4, :] += 3.0
         pos = 2
         for w in words:
-            band = (hash(w) % (self.cfg.num_mel_bins - 8))
+            # Band depends on word AND language (a crude accent), so both ASR
+            # and LID have learnable signal.
+            band = (sum(w.encode()) * 7 + 13 * self.language_id) \
+                % (self.cfg.num_mel_bins - 8)
             mel[band:band + 8, pos:pos + 8] += 1.0
             pos = min(pos + 10, n_frames - 10)
         return mel

@@ -1,0 +1,240 @@
+"""LID (language-identification) classifier trainer — Phase 2.
+
+Capability parity with the self-contained trainer in
+/root/reference/scripts/train_router.py:
+- LIDDataset: per-language ASR datasets -> (features, class label) samples,
+  with per-language caps and undersample-to-min balancing (:100-123), class
+  distribution logging
+- LIDTrainer (:176-550): AdamW + warmup/cosine, gradient accumulation,
+  classifier-only params; each step runs the FROZEN encoder then the
+  classifier (:436-454); eval computes accuracy, per-class accuracy, and a
+  confusion matrix (:456-531); checkpointing (:533-550)
+
+TPU-first: the frozen-encoder + classifier step (including accumulation) is
+one jitted program; the encoder runs in bf16 under stop_gradient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_tpu.models import classifier as clf
+from sar_tpu.models import whisper
+from sar_tpu.models.config import WhisperConfig
+from sar_tpu.training.optim import make_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class LIDDataset:
+    """Combine per-language datasets into (features, label) samples.
+
+    `datasets` maps language name -> list-like ASR dataset (items must carry
+    "input_features"). Parity with train_router.py:40-148.
+    """
+
+    def __init__(self, datasets: dict[str, object],
+                 languages: list[str] | tuple[str, ...],
+                 samples_per_language: int | None = None,
+                 balance: bool = False, seed: int = 42):
+        self.languages = list(languages)
+        rng = np.random.default_rng(seed)
+        per_lang: dict[str, list[int]] = {}
+        for lang in self.languages:
+            ds = datasets[lang]
+            idx = np.arange(len(ds))
+            rng.shuffle(idx)
+            if samples_per_language is not None:
+                idx = idx[:samples_per_language]
+            per_lang[lang] = idx.tolist()
+        if balance:
+            n_min = min(len(v) for v in per_lang.values())
+            per_lang = {k: v[:n_min] for k, v in per_lang.items()}
+
+        self._entries: list[tuple[str, int, int]] = []
+        for li, lang in enumerate(self.languages):
+            for i in per_lang[lang]:
+                self._entries.append((lang, i, li))
+        self._datasets = datasets
+        self.class_counts = {lang: len(per_lang[lang]) for lang in self.languages}
+        logger.info("LID dataset class distribution: %s", self.class_counts)
+
+    def __len__(self):
+        return len(self._entries)
+
+    def __getitem__(self, i):
+        lang, j, li = self._entries[i]
+        item = self._datasets[lang][j]
+        return {"input_features": item["input_features"], "language_id": li}
+
+
+@dataclasses.dataclass
+class LIDTrainingArgs:
+    """Defaults mirror /root/reference/scripts/train_router.py:692-883."""
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    max_steps: int = 2000
+    eval_steps: int = 200
+    scheduler: str = "cosine"
+    mixed_precision: str = "bf16"
+    gradient_accumulation_steps: int = 1
+    max_grad_norm: float = 1.0
+    encoder_layer: int = -1          # which encoder layer to tap (--encoder_layer)
+    seed: int = 42
+
+
+class LIDTrainer:
+    def __init__(self, model_cfg: WhisperConfig, base_params: dict,
+                 clf_params: dict, clf_cfg: clf.ClassifierConfig,
+                 args: LIDTrainingArgs | None = None,
+                 callbacks: list | None = None):
+        self.cfg = model_cfg
+        self.clf_cfg = clf_cfg
+        self.args = args or LIDTrainingArgs()
+        self.callbacks = callbacks or []
+        compute = (jnp.bfloat16 if self.args.mixed_precision in ("bf16", "fp16")
+                   else jnp.float32)
+        self.base_params = (whisper.cast_params(base_params, compute)
+                            if compute != jnp.float32 else base_params)
+        self.params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
+                                   clf_params)
+        self.tx, self.schedule = make_optimizer(
+            learning_rate=self.args.learning_rate,
+            weight_decay=self.args.weight_decay,
+            warmup_steps=self.args.warmup_steps,
+            max_steps=self.args.max_steps,
+            scheduler=self.args.scheduler,
+            max_grad_norm=self.args.max_grad_norm)
+        self.opt_state = self.tx.init(self.params)
+        self.global_step = 0
+        self.best_metric: float | None = None
+        self._rng = jax.random.PRNGKey(self.args.seed)
+        self._build_steps()
+
+    def _build_steps(self):
+        cfg, ccfg, args = self.cfg, self.clf_cfg, self.args
+
+        def features(base_params, mel):
+            return clf.encode_features(base_params, mel, cfg,
+                                       layer_index=args.encoder_layer)
+
+        def loss_fn(params, base_params, mel, labels, rng):
+            feats = features(base_params, mel)
+            out = clf.apply_classifier(params, ccfg, feats, labels=labels,
+                                       train=True, rng=rng)
+            return out["loss"]
+
+        def train_step(params, opt_state, base_params, mels, labels, rng):
+            A = mels.shape[0]
+            rngs = jax.random.split(rng, A)
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                mel, lab, r = xs
+                loss, g = jax.value_and_grad(loss_fn)(params, base_params,
+                                                      mel, lab, r)
+                return (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (g, loss), _ = jax.lax.scan(micro, (zeros, 0.0), (mels, labels, rngs))
+            g = jax.tree.map(lambda x: x / A, g)
+            updates, opt_state = self.tx.update(g, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                  params, updates)
+            return params, opt_state, loss / A
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def eval_step(params, base_params, mel, labels):
+            feats = features(base_params, mel)
+            out = clf.apply_classifier(params, ccfg, feats, labels=labels)
+            preds = jnp.argmax(out["logits"], axis=-1)
+            return out["loss"], preds
+
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def train(self, train_loader, eval_loader=None) -> dict:
+        args = self.args
+        for cb in self.callbacks:
+            cb.on_train_begin(self)
+        history: dict = {"loss": [], "eval": []}
+        if eval_loader is not None:
+            history["eval"].append(
+                {"step": 0, **self.evaluate(eval_loader)})
+        it = train_loader.iterate()
+        t0 = time.time()
+        while self.global_step < args.max_steps:
+            micro = [next(it) for _ in range(args.gradient_accumulation_steps)]
+            mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
+            labels = jnp.asarray(np.stack([b["language_ids"] for b in micro]))
+            self._rng, r = jax.random.split(self._rng)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, self.base_params, mels, labels, r)
+            self.global_step += 1
+            logs = {"loss": float(loss),
+                    "learning_rate": float(self.schedule(self.global_step))}
+            history["loss"].append(logs["loss"])
+            for cb in self.callbacks:
+                cb.on_step_end(self, self.global_step, logs)
+            if self.global_step % 50 == 0 or self.global_step == 1:
+                logger.info("LID step %d/%d loss=%.4f (%.2f steps/s)",
+                            self.global_step, args.max_steps, logs["loss"],
+                            self.global_step / (time.time() - t0))
+            if eval_loader is not None and args.eval_steps \
+                    and self.global_step % args.eval_steps == 0:
+                history["eval"].append(
+                    {"step": self.global_step, **self.evaluate(eval_loader)})
+                if any(getattr(cb, "should_stop", False) for cb in self.callbacks):
+                    break
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        return history
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_loader) -> dict:
+        """Accuracy, per-class accuracy, confusion matrix
+        (parity with train_router.py:456-531)."""
+        for cb in self.callbacks:
+            cb.on_evaluate_begin(self)
+        K = self.clf_cfg.num_classes
+        confusion = np.zeros((K, K), np.int64)
+        losses = []
+        for batch in eval_loader.one_epoch():
+            loss, preds = self._eval_step(
+                self.params, self.base_params,
+                jnp.asarray(batch["input_features"]),
+                jnp.asarray(batch["language_ids"]))
+            losses.append(float(loss))
+            for t, p in zip(batch["language_ids"], np.asarray(preds)):
+                confusion[int(t), int(p)] += 1
+        total = confusion.sum()
+        acc = float(np.trace(confusion)) / max(total, 1)
+        per_class = {}
+        for i, lang in enumerate(self.clf_cfg.languages):
+            n = confusion[i].sum()
+            per_class[lang] = float(confusion[i, i]) / max(n, 1)
+        metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
+                   "accuracy": acc, "per_class_accuracy": per_class,
+                   "confusion_matrix": confusion.tolist(),
+                   "num_samples": int(total)}
+        logger.info("LID eval @ %d: acc=%.4f per-class=%s",
+                    self.global_step, round(acc, 4),
+                    {k: round(v, 3) for k, v in per_class.items()})
+        for cb in self.callbacks:
+            cb.on_evaluate_end(self, metrics)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str | Path) -> None:
+        clf.save_classifier(Path(path), self.params, self.clf_cfg,
+                            metadata={"global_step": self.global_step,
+                                      "model": self.cfg.name})
