@@ -1,0 +1,79 @@
+"""Headline benchmark: whisper-small greedy transcription RTFx on one chip.
+
+Measures the full inference pipeline the reference runs per eval batch
+(/root/reference/src/evaluation/__init__.py:64-95): log-mel frontend +
+encoder + KV-cached greedy decode with max_new_tokens=256 — here compiled
+end-to-end in JAX, mel computed on-device, decode as one lax.while_loop.
+
+Weights are random (zero-egress environment): RTFx is independent of weight
+values, and random weights never emit EOS, so every sequence decodes the full
+256 tokens — a worst-case (lower-bound) RTFx; real transcriptions stop early
+and run faster.
+
+The reference publishes no speed numbers (BASELINE.md: quality only;
+latency was a planned metric). `vs_baseline` therefore compares against an
+ESTIMATED reference throughput of 50 audio-sec/sec for HF torch
+whisper-small greedy (batch 16, fp16, A100, full 256-token generation) —
+to be replaced by a fresh A100 measurement when one exists.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RTFX_A100_EST = 50.0
+BATCH = 16
+MAX_NEW_TOKENS = 256
+ITERS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sar_tpu.decode import greedy_decode
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+    from sar_tpu.ops import mel as mel_ops
+
+    cfg = get_config("whisper-small")
+    params = whisper.cast_params(
+        whisper.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+
+    @jax.jit
+    def transcribe(params, audio):
+        feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
+                                            dtype=jnp.bfloat16)
+        enc = whisper.encode(params, feats, cfg)
+        return greedy_decode(params, enc, cfg, prompt,
+                             max_new_tokens=MAX_NEW_TOKENS)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((BATCH, mel_ops.N_SAMPLES)) * 0.1, jnp.float32)
+
+    # Warmup / compile.
+    jax.block_until_ready(transcribe(params, audio))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = transcribe(params, audio)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
+    rtfx = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "whisper-small greedy transcription RTFx (bf16, batch 16, "
+                  "256 new tokens, mel+encode+decode end-to-end)",
+        "value": round(rtfx, 2),
+        "unit": "audio-sec/sec",
+        "vs_baseline": round(rtfx / REFERENCE_RTFX_A100_EST, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
