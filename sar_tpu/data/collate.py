@@ -30,10 +30,24 @@ class SpeechCollator:
     pad_to_length: int = 448
     pad_to_multiple: int | None = None   # bucket instead of fixed length
     with_language: bool = False
+    num_mels: int = 80                   # used only for the raw-audio path
 
     def __call__(self, items: list[dict]) -> dict:
-        feats = np.stack([np.asarray(it["input_features"], np.float32)
-                          for it in items])
+        if "input_features" in items[0]:
+            feats = np.stack([np.asarray(it["input_features"], np.float32)
+                              for it in items])
+        else:
+            # Raw-audio items: pad/trim to the 30 s window and run the
+            # batched on-device mel frontend (replaces the reference's
+            # per-item CPU feature_extractor, dataset.py:124-134).
+            import jax.numpy as jnp
+            from sar_tpu.ops import mel as mel_ops
+            audio = np.zeros((len(items), mel_ops.N_SAMPLES), np.float32)
+            for i, it in enumerate(items):
+                a = np.asarray(it["audio"], np.float32)[:mel_ops.N_SAMPLES]
+                audio[i, :len(a)] = a
+            feats = np.asarray(mel_ops.log_mel_spectrogram_jit(
+                jnp.asarray(audio), num_mels=self.num_mels))
         labels = [list(it["labels"]) for it in items]
 
         # Strip a uniform leading SOT (model re-prepends it).

@@ -31,12 +31,15 @@ class SyntheticASRDataset:
         self.tokenizer = CharTokenizer(cfg)
         self.language = language
         self.language_id = language_id
-        rng = np.random.default_rng(seed + 1000 * language_id)
+        # Acoustic/lexical identity keys off the language NAME so renders are
+        # consistent across phases regardless of positional class ids.
+        self._accent = sum(language.encode()) % 97
+        rng = np.random.default_rng(seed + 1000 * self._accent)
         self._items = []
         n_frames = cfg.max_source_positions * 2
         for _ in range(size):
             words = [
-                _WORDS[(w + 2 * language_id) % len(_WORDS)]
+                _WORDS[(w + 2 * self._accent) % len(_WORDS)]
                 for w in rng.integers(0, len(_WORDS), num_words)
             ]
             text = " ".join(words)
@@ -52,13 +55,13 @@ class SyntheticASRDataset:
     def _render(self, words: list[str], n_frames: int, rng) -> np.ndarray:
         mel = rng.standard_normal((self.cfg.num_mel_bins, n_frames)).astype(np.float32) * 0.05
         # Persistent per-language "accent band" so LID signal survives pooling.
-        accent = (3 * self.language_id) % self.cfg.num_mel_bins
+        accent = (3 * self._accent) % self.cfg.num_mel_bins
         mel[accent:accent + 4, :] += 3.0
         pos = 2
         for w in words:
             # Band depends on word AND language (a crude accent), so both ASR
             # and LID have learnable signal.
-            band = (sum(w.encode()) * 7 + 13 * self.language_id) \
+            band = (sum(w.encode()) * 7 + 13 * self._accent) \
                 % (self.cfg.num_mel_bins - 8)
             mel[band:band + 8, pos:pos + 8] += 1.0
             pos = min(pos + 10, n_frames - 10)

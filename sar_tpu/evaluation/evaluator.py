@@ -1,0 +1,160 @@
+"""ASR evaluation: batched transcription + corpus WER/CER.
+
+Capability parity with /root/reference/src/evaluation/__init__.py:
+ASREvaluator (batch generate -> decode preds/refs -> corpus WER/CER + sample
+count, optional prediction/reference return, :44-114), evaluate_per_sample
+(:116-140), analyze (:142-169), transcribe_audio (:172-220) and
+batch_transcribe (:223-292).
+
+TPU-first: generation is the compiled greedy/beam loop over a whole batch
+(the reference loops HF generate per batch with per-token host syncs); mel
+features are computed on device from raw audio when items carry "audio".
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sar_tpu.decode import greedy_decode, transcribe_tokens
+from sar_tpu.models import whisper
+from sar_tpu.models.config import WhisperConfig
+from sar_tpu.ops import mel as mel_ops
+from sar_tpu.training.metrics import (analyze_errors, compute_metrics,
+                                      compute_metrics_per_sample)
+
+logger = logging.getLogger(__name__)
+
+
+class ASREvaluator:
+    """Evaluates a (possibly LoRA-adapted) model on a dataloader."""
+
+    def __init__(self, cfg: WhisperConfig, params: dict, tokenizer,
+                 language: str = "hindi", max_new_tokens: int = 256,
+                 num_beams: int = 1, lora: dict | None = None,
+                 lora_scale: float = 1.0):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.language = language
+        self.max_new_tokens = max_new_tokens
+        self.num_beams = num_beams
+        self.lora = lora
+        self.lora_scale = lora_scale
+        self._prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        cfg, mnt = self.cfg, self.max_new_tokens
+        lora, scale, beams = self.lora, self.lora_scale, self.num_beams
+
+        def step(params, mel, prompt):
+            enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
+            if beams > 1:
+                from sar_tpu.decode.beam import beam_decode
+                return beam_decode(params, enc, cfg, prompt, num_beams=beams,
+                                   max_new_tokens=mnt, lora=lora,
+                                   lora_scale=scale)
+            return greedy_decode(params, enc, cfg, prompt, max_new_tokens=mnt,
+                                 lora=lora, lora_scale=scale)
+        return step
+
+    def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
+        tokens = self._step(self.params, mel, self._prompt)
+        ids = transcribe_tokens(tokens, self.cfg,
+                                prompt_len=int(self._prompt.shape[0]))
+        return [self.tokenizer.decode(row) for row in ids]
+
+    def evaluate(self, dataloader, return_predictions: bool = False) -> dict:
+        """Corpus metrics over a dataloader (parity with :44-114)."""
+        preds, refs = [], []
+        for batch in dataloader.one_epoch():
+            preds.extend(self._transcribe_batch(
+                jnp.asarray(batch["input_features"])))
+            refs.extend(batch["texts"])
+        results = compute_metrics(preds, refs)
+        results["num_samples"] = len(refs)
+        logger.info("eval: WER=%.4f CER=%.4f n=%d", results["wer"],
+                    results["cer"], results["num_samples"])
+        if return_predictions:
+            results["predictions"] = preds
+            results["references"] = refs
+        return results
+
+    def evaluate_per_sample(self, dataloader) -> list[dict]:
+        """Per-sample WER/CER rows (parity with :116-140)."""
+        out = self.evaluate(dataloader, return_predictions=True)
+        per = compute_metrics_per_sample(out["predictions"], out["references"])
+        for row, p, r in zip(per, out["predictions"], out["references"]):
+            row["prediction"], row["reference"] = p, r
+        return per
+
+    def analyze(self, dataloader, top_k: int = 10) -> dict:
+        """Metrics + insertion/deletion analysis (parity with :142-169)."""
+        out = self.evaluate(dataloader, return_predictions=True)
+        out["error_analysis"] = analyze_errors(out["predictions"],
+                                               out["references"], top_k)
+        return out
+
+    def save_results(self, results: dict, output_dir: str | Path) -> None:
+        """metrics.json + predictions.txt/references.txt (parity with
+        /root/reference/scripts/evaluate_model.py:154-188)."""
+        import json
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        metrics = {k: v for k, v in results.items()
+                   if k not in ("predictions", "references")}
+        (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+        if "predictions" in results:
+            (out / "predictions.txt").write_text(
+                "\n".join(results["predictions"]) + "\n")
+            (out / "references.txt").write_text(
+                "\n".join(results["references"]) + "\n")
+
+
+def transcribe_audio(audio: np.ndarray, cfg: WhisperConfig, params: dict,
+                     tokenizer, language: str = "hindi",
+                     max_new_tokens: int = 256, lora: dict | None = None,
+                     lora_scale: float = 1.0) -> str:
+    """Single-utterance helper (parity with :172-220). `audio` is a float32
+    waveform at 16 kHz."""
+    return batch_transcribe([audio], cfg, params, tokenizer, language,
+                            max_new_tokens=max_new_tokens, lora=lora,
+                            lora_scale=lora_scale)[0]
+
+
+def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
+                     params: dict, tokenizer, language: str = "hindi",
+                     batch_size: int = 8, max_new_tokens: int = 256,
+                     lora: dict | None = None,
+                     lora_scale: float = 1.0) -> list[str]:
+    """Batched raw-audio transcription (parity with :223-292): pad/trim to the
+    30 s window, mel on device, compiled greedy decode."""
+    prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
+
+    @jax.jit
+    def run(params, audio):
+        feats = mel_ops.log_mel_spectrogram(
+            audio, cfg.num_mel_bins,
+            dtype=jax.tree.leaves(params)[0].dtype)
+        enc = whisper.encode(params, feats, cfg, lora=lora, lora_scale=lora_scale)
+        return greedy_decode(params, enc, cfg, prompt,
+                             max_new_tokens=max_new_tokens, lora=lora,
+                             lora_scale=lora_scale)
+
+    texts: list[str] = []
+    for s in range(0, len(audios), batch_size):
+        chunk = audios[s:s + batch_size]
+        n = len(chunk)
+        padded = np.zeros((batch_size, mel_ops.N_SAMPLES), np.float32)
+        for i, a in enumerate(chunk):
+            a = np.asarray(a, np.float32)[:mel_ops.N_SAMPLES]
+            padded[i, :len(a)] = a
+        tokens = run(params, jnp.asarray(padded))
+        ids = transcribe_tokens(tokens[:n], cfg, prompt_len=int(prompt.shape[0]))
+        texts.extend(tokenizer.decode(row) for row in ids)
+    return texts

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Evaluate a trained LoRA adapter: transcribe a split, compute WER/CER.
+
+CLI parity with /root/reference/scripts/evaluate_model.py:27-81 (checkpoint
+required, split default test, num_beams, save_predictions -> metrics.json +
+predictions.txt/references.txt, :154-188). `--checkpoint none` evaluates the
+zero-shot base model (the reference's baseline workflow,
+test_inference_run.py).
+"""
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+logging.basicConfig(level=logging.INFO,
+                    format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger("evaluate_model")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate ASR model (TPU)")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="Adapter checkpoint dir (or 'none' for zero-shot base)")
+    p.add_argument("--model", type=str, default="whisper-small",
+                   choices=["whisper-tiny", "whisper-base", "whisper-small",
+                            "whisper-medium", "whisper-large", "whisper-test"])
+    p.add_argument("--language", type=str, required=True)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--data_sources", type=str, nargs="+",
+                   default=["common_voice"])
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--mixed_precision", type=str, default="bf16",
+                   choices=["no", "fp16", "bf16"])
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--save_predictions", action="store_true")
+    p.add_argument("--per_sample", action="store_true",
+                   help="Also compute per-sample WER/CER rows")
+    p.add_argument("--cache_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+    from sar_tpu.data.collate import create_collator
+    from sar_tpu.data.datasets import create_dataset
+    from sar_tpu.data.loader import DataLoader
+    from sar_tpu.data.tokenizer import get_tokenizer
+    from sar_tpu.evaluation.evaluator import ASREvaluator
+    from sar_tpu.models import lora as lora_lib
+    from sar_tpu.models.base import load_base_model
+
+    dtype = {"no": jnp.float32, "fp16": jnp.bfloat16,
+             "bf16": jnp.bfloat16}[args.mixed_precision]
+    cfg, params = load_base_model(args.model, dtype=dtype,
+                                  cache_dir=args.cache_dir)
+    tokenizer = get_tokenizer(args.model, language=args.language)
+
+    lora = None
+    lora_scale = 1.0
+    if args.checkpoint not in (None, "none"):
+        ckpt = Path(args.checkpoint)
+        adapter_dir = ckpt / "adapter" if (ckpt / "adapter").exists() else ckpt
+        lora, lcfg, meta = lora_lib.load_adapter(adapter_dir)
+        lora_scale = lcfg.scale
+        logger.info("loaded adapter %s (r=%d, alpha=%d, meta=%s)",
+                    adapter_dir, lcfg.r, lcfg.alpha, meta)
+
+    ds = create_dataset(language=args.language, sources=args.data_sources,
+                        split=args.split, tokenizer=tokenizer,
+                        max_samples=args.max_samples, seed=args.seed,
+                        model_config=cfg)
+    loader = DataLoader(ds, args.batch_size,
+                        create_collator(cfg.sot_token_id,
+                                        num_mels=cfg.num_mel_bins),
+                        shuffle=False, drop_last=False)
+    logger.info("evaluating %d samples (%s/%s)", len(ds), args.language,
+                args.split)
+
+    evaluator = ASREvaluator(cfg, params, tokenizer, language=args.language,
+                             max_new_tokens=args.max_new_tokens,
+                             num_beams=args.num_beams, lora=lora,
+                             lora_scale=lora_scale)
+    results = evaluator.evaluate(loader,
+                                 return_predictions=args.save_predictions)
+
+    print(f"WER: {results['wer'] * 100:.2f}%")
+    print(f"CER: {results['cer'] * 100:.2f}%")
+    print(f"Samples: {results['num_samples']}")
+
+    if args.output_dir:
+        evaluator.save_results(results, args.output_dir)
+        if args.per_sample:
+            per = evaluator.evaluate_per_sample(loader)
+            (Path(args.output_dir) / "per_sample.json").write_text(
+                json.dumps(per, indent=2, ensure_ascii=False))
+        logger.info("wrote results to %s", args.output_dir)
+    return results
+
+
+if __name__ == "__main__":
+    main()
