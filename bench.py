@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 REFERENCE_RTFX_A100_EST = 50.0
-BATCH = 16
+BATCH = 64
 MAX_NEW_TOKENS = 256
 ITERS = 3
 
@@ -55,19 +55,20 @@ def main():
     audio = jnp.asarray(
         rng.standard_normal((BATCH, mel_ops.N_SAMPLES)) * 0.1, jnp.float32)
 
-    # Warmup / compile.
-    jax.block_until_ready(transcribe(params, audio))
+    # Warmup / compile. A device->host transfer (not just block_until_ready)
+    # guarantees completion through remote-execution tunnels.
+    np.asarray(transcribe(params, audio))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = transcribe(params, audio)
-    jax.block_until_ready(out)
+    np.asarray(out)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
     rtfx = audio_seconds / elapsed
     print(json.dumps({
-        "metric": "whisper-small greedy transcription RTFx (bf16, batch 16, "
+        "metric": "whisper-small greedy transcription RTFx (bf16, batch 64, "
                   "256 new tokens, mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",

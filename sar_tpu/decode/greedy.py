@@ -49,14 +49,20 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
 
+    # Only the mutable self-attention cache is loop-carried; the (large,
+    # loop-invariant) cross K/V are closed over so the while body never
+    # copies them.
+    cross = cache._replace(self_k=None, self_v=None)
+
     def cond(state):
-        pos, _, _, finished = state
+        pos, _, _, _, finished = state
         return (pos < total - 1) & ~jnp.all(finished)
 
     def body(state):
-        pos, tokens, cache, finished = state
-        logits, cache = whisper.decode_step(
-            params, tokens[:, pos], pos, cache, cfg,
+        pos, tokens, sk, sv, finished = state
+        step_cache = cross._replace(self_k=sk, self_v=sv)
+        logits, step_cache = whisper.decode_step(
+            params, tokens[:, pos], pos, step_cache, cfg,
             lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale)
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
@@ -68,10 +74,11 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = finished | (~in_prompt & (nxt == eos))
-        return pos + 1, tokens, cache, finished
+        return pos + 1, tokens, step_cache.self_k, step_cache.self_v, finished
 
-    state = (jnp.int32(0), tokens, cache, jnp.zeros((B,), bool))
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), tokens, cache.self_k, cache.self_v,
+             jnp.zeros((B,), bool))
+    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
 
 

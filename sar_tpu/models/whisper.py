@@ -452,35 +452,38 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     pos_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]  # [1,1,1,max]
     scaling = (cfg.d_model // H) ** -0.5
     ctx = LoraCtx(adapter_idx, lora_scale)
+    dec_lora = lora.get("decoder") if lora else None
 
-    def body(carry, xs):
-        x = carry
-        p, lo, sk, sv, ck, cv = xs
-        lo = lo or {}
+    # Layers are python-unrolled (static layer indices): XLA software-
+    # pipelines weight/KV prefetch across layers, and dynamic_update_slice on
+    # the carried cache writes only the (pos) column in place. Measured on
+    # v5e (whisper-small, B=64): 8.0 ms/step unrolled vs 12.7 ms/step with a
+    # fori_loop, vs 20+ ms/step with a scan that re-stacked the whole cache.
+    sk_all, sv_all = cache.self_k, cache.self_v
+    L = sk_all.shape[0]
+    for l in range(L):
+        p = jax.tree.map(lambda a: a[l], dec["layers"])
+        lo = (jax.tree.map(lambda a: a[l], dec_lora)
+              if dec_lora is not None else {})
         # Self-attention against the cache.
         h = layer_norm(x, p["self_ln"]["scale"], p["self_ln"]["bias"])
         q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
         k = split_heads(_proj(h, p["self_k"], lo.get("self_k"), ctx, 1), H)
         v = split_heads(_proj(h, p["self_v"], lo.get("self_v"), ctx, 2), H)
-        sk = jax.lax.dynamic_update_slice_in_dim(sk, k, pos, axis=2)
-        sv = jax.lax.dynamic_update_slice_in_dim(sv, v, pos, axis=2)
-        a = attention(split_heads(q, H), sk, sv, pos_mask)
+        sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
+        sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
+        a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
         x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
         # Cross-attention against precomputed K/V.
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
-        a = attention(split_heads(q, H), ck, cv)
+        a = attention(split_heads(q, H), cache.cross_k[l], cache.cross_v[l])
         x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
         # MLP.
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
         h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
         x = x + linear(h, p["fc2"])
-        return x, (sk, sv)
-
-    x, (new_sk, new_sv) = jax.lax.scan(
-        body, x,
-        (dec["layers"], lora.get("decoder") if lora else None,
-         cache.self_k, cache.self_v, cache.cross_k, cache.cross_v))
+    new_sk, new_sv = sk_all, sv_all
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     logits = jnp.dot(x[:, 0], dec["token_embed"].T.astype(dtype),
                      preferred_element_type=jnp.float32)

@@ -39,11 +39,35 @@ def _guard(texts: list[str]) -> list[str]:
     return [t if t.strip() else "<empty>" for t in texts]
 
 
+def _corpus_distance(ref_seqs: list[list], hyp_seqs: list[list]) -> int:
+    """Total edit distance over a corpus; native C++ batch path when
+    available (sar_tpu/native), numpy DP otherwise. Tokens are interned to
+    int32 ids so both paths compare ids, not objects."""
+    try:
+        from sar_tpu.utils.native import batch_edit_distance
+        intern: dict = {}
+
+        def ids(seq):
+            out = np.empty(len(seq), np.int32)
+            for i, t in enumerate(seq):
+                out[i] = intern.setdefault(t, len(intern))
+            return out
+
+        a = [ids(s) for s in ref_seqs]
+        b = [ids(s) for s in hyp_seqs]
+        dists = batch_edit_distance(a, b)
+        if dists is not None:
+            return int(dists.sum())
+    except Exception:
+        pass
+    return sum(edit_distance(r, h) for r, h in zip(ref_seqs, hyp_seqs))
+
+
 def compute_wer(predictions: list[str], references: list[str]) -> float:
     """Corpus WER: total word edit distance / total reference words."""
     predictions, references = _guard(predictions), _guard(references)
-    dist = sum(edit_distance(r.split(), p.split())
-               for p, r in zip(predictions, references))
+    dist = _corpus_distance([r.split() for r in references],
+                            [p.split() for p in predictions])
     total = sum(len(r.split()) for r in references)
     return dist / max(total, 1)
 
@@ -51,8 +75,8 @@ def compute_wer(predictions: list[str], references: list[str]) -> float:
 def compute_cer(predictions: list[str], references: list[str]) -> float:
     """Corpus CER: total char edit distance / total reference chars."""
     predictions, references = _guard(predictions), _guard(references)
-    dist = sum(edit_distance(list(r), list(p))
-               for p, r in zip(predictions, references))
+    dist = _corpus_distance([list(r) for r in references],
+                            [list(p) for p in predictions])
     total = sum(len(r) for r in references)
     return dist / max(total, 1)
 
