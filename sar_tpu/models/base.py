@@ -23,6 +23,26 @@ from sar_tpu.models.config import (HF_MODEL_IDS, MODEL_CONFIGS, WhisperConfig,
 logger = logging.getLogger(__name__)
 
 
+def get_model_name(short_name: str) -> str:
+    """short name -> HF hub id (parity with base.py:134-139)."""
+    return HF_MODEL_IDS.get(short_name, short_name)
+
+
+def get_processor(model_name: str, language: str = "hindi",
+                  task: str = "transcribe"):
+    """(feature-extraction fn, tokenizer) pair. The reference returns an HF
+    WhisperProcessor (base.py:44-74); here feature extraction is the
+    on-device mel frontend, so the "processor" is (log_mel fn, tokenizer)."""
+    from sar_tpu.ops.mel import log_mel_spectrogram_jit
+    cfg = get_config(model_name)
+    tok = get_tokenizer(model_name, language=language, task=task)
+
+    def features(audio):
+        return log_mel_spectrogram_jit(audio, num_mels=cfg.num_mel_bins)
+
+    return features, tok
+
+
 def load_base_model(model_name: str, dtype=jnp.bfloat16, seed: int = 0,
                     cache_dir: str | None = None):
     """(cfg, params). Real models convert HF weights; whisper-test is
