@@ -72,6 +72,26 @@ def test_sharded_train_step_runs_and_matches(world, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_sharded_greedy_decode_matches(world, rng):
+    """TP+DP greedy decode == single-device decode (the whisper-large
+    ICI-sharded batch-inference path, BASELINE config #5, at toy scale)."""
+    from sar_tpu.decode import greedy_decode
+    cfg, params = world
+    mel = jnp.asarray(rng.standard_normal((8, cfg.num_mel_bins, 64)), jnp.float32)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+
+    def run(p, m):
+        enc = whisper.encode(p, m, cfg)
+        return greedy_decode(p, enc, cfg, prompt, max_new_tokens=8)
+
+    single = run(params, mel)
+    mesh = make_mesh(n_model=2)
+    sp = shard_params(params, mesh)
+    sm = shard_batch({"mel": mel}, mesh)["mel"]
+    multi = jax.jit(run)(sp, sm)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
+
+
 def test_dryrun_multichip_entrypoint(eight_devices):
     """The driver's multi-chip validation path must run end to end."""
     import __graft_entry__
