@@ -43,13 +43,25 @@ def main():
         whisper.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
     prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
 
+    total = min(len(cfg.prompt_ids("hindi")) + MAX_NEW_TOKENS,
+                cfg.max_target_positions)
+
+    # Two-phase (prep | decode loop) — fusing encode into the decode-loop
+    # program slows the loop ~1.5x (see sar_tpu.decode.greedy docstring).
     @jax.jit
-    def transcribe(params, audio):
+    def prep(params, audio):
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
         enc = whisper.encode(params, feats, cfg)
-        return greedy_decode(params, enc, cfg, prompt,
-                             max_new_tokens=MAX_NEW_TOKENS)
+        return whisper.init_cache(params, enc, cfg, max_len=total)
+
+    @jax.jit
+    def decode(params, cache):
+        from sar_tpu.decode.greedy import greedy_decode_from_cache
+        return greedy_decode_from_cache(params, cache, cfg, prompt)
+
+    def transcribe(params, audio):
+        return decode(params, prep(params, audio))
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

@@ -33,16 +33,40 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
     Shapes are static — safe under jit/pjit with no retracing across batches.
+
+    NOTE for peak throughput: jit encode+init_cache and this loop as TWO
+    separate programs (as sar_tpu.evaluation and bench.py do) — fusing the
+    encoder into the same XLA program as the decode loop measurably slows the
+    loop (~1.5x at whisper-small B=64 on v5e; live encoder intermediates
+    degrade the loop's memory behavior).
     """
     B = enc_out.shape[0]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
     P = prompt_ids.shape[1]
     total = min(P + max_new_tokens, cfg.max_target_positions)
-    eos = cfg.eos_token_id
 
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale)
+    return greedy_decode_from_cache(
+        params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
+        lora_scale=lora_scale, suppress_ids=suppress_ids)
+
+
+def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
+                             prompt_ids: jnp.ndarray, *,
+                             lora: dict | None = None,
+                             adapter_idx: jnp.ndarray | None = None,
+                             lora_scale: float = 1.0,
+                             suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+    """The decode loop alone, from a prepared DecodeCache (see note above).
+    Total length = cache.self_k.shape[3]."""
+    B = cache.cross_k.shape[1]
+    if prompt_ids.ndim == 1:
+        prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
+    P = prompt_ids.shape[1]
+    total = cache.self_k.shape[3]
+    eos = cfg.eos_token_id
 
     tokens = jnp.full((B, total), eos, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))

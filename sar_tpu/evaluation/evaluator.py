@@ -46,25 +46,41 @@ class ASREvaluator:
         self.lora = lora
         self.lora_scale = lora_scale
         self._prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
-        self._step = jax.jit(self._make_step())
+        self._build_steps()
 
-    def _make_step(self):
+    def _build_steps(self):
+        """Two-phase inference: encode+cross-KV prep and the decode loop are
+        SEPARATE jitted programs — fusing them slows the loop ~1.5x (see
+        sar_tpu.decode.greedy docstring)."""
         cfg, mnt = self.cfg, self.max_new_tokens
         lora, scale, beams = self.lora, self.lora_scale, self.num_beams
+        total = min(int(self._prompt.shape[0]) + mnt, cfg.max_target_positions)
 
-        def step(params, mel, prompt):
+        def prep(params, mel):
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
-            if beams > 1:
-                from sar_tpu.decode.beam import beam_decode
-                return beam_decode(params, enc, cfg, prompt, num_beams=beams,
-                                   max_new_tokens=mnt, lora=lora,
-                                   lora_scale=scale)
-            return greedy_decode(params, enc, cfg, prompt, max_new_tokens=mnt,
-                                 lora=lora, lora_scale=scale)
-        return step
+            return enc, whisper.init_cache(params, enc, cfg, max_len=total,
+                                           lora=lora, lora_scale=scale)
+
+        def dec(params, cache, prompt):
+            from sar_tpu.decode.greedy import greedy_decode_from_cache
+            return greedy_decode_from_cache(params, cache, cfg, prompt,
+                                            lora=lora, lora_scale=scale)
+
+        def beam(params, enc, prompt):
+            from sar_tpu.decode.beam import beam_decode
+            return beam_decode(params, enc, cfg, prompt, num_beams=beams,
+                               max_new_tokens=mnt, lora=lora, lora_scale=scale)
+
+        self._prep = jax.jit(prep)
+        self._decode = jax.jit(dec)
+        self._beam = jax.jit(beam)
 
     def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
-        tokens = self._step(self.params, mel, self._prompt)
+        enc, cache = self._prep(self.params, mel)
+        if self.num_beams > 1:
+            tokens = self._beam(self.params, enc, self._prompt)
+        else:
+            tokens = self._decode(self.params, cache, self._prompt)
         ids = transcribe_tokens(tokens, self.cfg,
                                 prompt_len=int(self._prompt.shape[0]))
         return [self.tokenizer.decode(row) for row in ids]
