@@ -62,12 +62,16 @@ class ASRTrainer:
     def __init__(self, model_cfg: WhisperConfig, base_params: dict,
                  lora: dict, lora_cfg: lora_lib.LoraConfig,
                  args: TrainingArgs | None = None, tokenizer=None,
-                 language: str = "hindi", callbacks: list | None = None):
+                 language: str = "hindi", languages: list | None = None,
+                 callbacks: list | None = None):
         self.cfg = model_cfg
         self.args = args or TrainingArgs()
         self.lora_cfg = lora_cfg
         self.tokenizer = tokenizer
         self.language = language
+        # Bank-order language list for joint multilingual training; index i
+        # of `languages` = adapter i = language_ids value i in batches.
+        self.languages = list(languages) if languages else [language]
         self.callbacks = callbacks or []
 
         compute = (jnp.bfloat16 if self.args.mixed_precision in ("bf16", "fp16")
@@ -86,6 +90,9 @@ class ASRTrainer:
             max_grad_norm=self.args.max_grad_norm)
         self.opt_state = self.tx.init(self.lora)
 
+        from sar_tpu.models.lora import num_adapters
+        self.multi_adapter = num_adapters(self.lora) > 1
+
         self.global_step = 0
         self.epoch = 0
         self.best_metric: float | None = None
@@ -97,31 +104,38 @@ class ASRTrainer:
         cfg, lora_cfg, args = self.cfg, self.lora_cfg, self.args
         dtype = self.compute_dtype
 
-        def loss_fn(lora, base_params, mel, labels, rng):
+        multi = self.multi_adapter
+
+        def loss_fn(lora, base_params, mel, labels, adapter_idx, rng):
             dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
                                                 cfg.pad_token_id)
             logits = whisper.forward(
                 base_params, mel.astype(dtype), dec_in, cfg, lora=lora,
+                adapter_idx=adapter_idx if multi else None,
                 lora_scale=lora_cfg.scale, lora_dropout=lora_cfg.dropout,
                 dropout_rng=rng, remat=args.gradient_checkpointing)
             return whisper.cross_entropy_loss(logits, labels)
 
-        def train_step(lora, opt_state, base_params, mels, labels, rng):
-            """mels: [A, B, M, T]; labels: [A, B, L] — A = accumulation."""
+        def train_step(lora, opt_state, base_params, mels, labels,
+                       adapter_ids, rng):
+            """mels: [A, B, M, T]; labels: [A, B, L]; adapter_ids: [A, B]
+            (per-utterance bank index for joint multilingual training — a
+            capability the reference's one-job-per-language grid lacks) —
+            A = accumulation."""
             A = mels.shape[0]
             rngs = jax.random.split(rng, A)
 
             def micro(carry, xs):
                 g_acc, loss_acc = carry
-                mel, lab, r = xs
+                mel, lab, idx, r = xs
                 loss, g = jax.value_and_grad(loss_fn)(lora, base_params,
-                                                      mel, lab, r)
+                                                      mel, lab, idx, r)
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 return (g_acc, loss_acc + loss), None
 
             zeros = jax.tree.map(jnp.zeros_like, lora)
             (g, loss), _ = jax.lax.scan(micro, (zeros, 0.0),
-                                        (mels, labels, rngs))
+                                        (mels, labels, adapter_ids, rngs))
             g = jax.tree.map(lambda x: x / A, g)
             updates, opt_state = self.tx.update(g, opt_state, lora)
             lora = jax.tree.map(
@@ -132,18 +146,22 @@ class ASRTrainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
-        def eval_step(lora, base_params, mel, labels, prompt):
+        def eval_step(lora, base_params, mel, labels, prompt, adapter_idx):
             mel = mel.astype(dtype)
+            idx = adapter_idx if multi else None
             enc_out = whisper.encode(base_params, mel, cfg, lora=lora,
+                                     adapter_idx=idx,
                                      lora_scale=lora_cfg.scale)
             dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
                                                 cfg.pad_token_id)
             logits = whisper.decode_train(base_params, enc_out, dec_in, cfg,
-                                          lora=lora, lora_scale=lora_cfg.scale)
+                                          lora=lora, adapter_idx=idx,
+                                          lora_scale=lora_cfg.scale)
             loss = whisper.cross_entropy_loss(logits, labels)
             tokens = greedy_decode(base_params, enc_out, cfg, prompt,
                                    max_new_tokens=args.max_new_tokens,
-                                   lora=lora, lora_scale=lora_cfg.scale)
+                                   lora=lora, adapter_idx=idx,
+                                   lora_scale=lora_cfg.scale)
             return loss, tokens
 
         self._eval_step = jax.jit(eval_step)
@@ -168,10 +186,13 @@ class ASRTrainer:
             micro = [next(batch_iter) for _ in range(accum)]
             mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
             labels = jnp.asarray(np.stack([b["labels"] for b in micro]))
+            adapter_ids = jnp.asarray(np.stack(
+                [b.get("language_ids", np.zeros(len(b["texts"]), np.int32))
+                 for b in micro]))
             self._rng, step_rng = jax.random.split(self._rng)
             self.lora, self.opt_state, loss, gnorm = self._train_step(
                 self.lora, self.opt_state, self.base_params, mels, labels,
-                step_rng)
+                adapter_ids, step_rng)
             self.global_step += 1
             logs = {"loss": float(loss),
                     "learning_rate": float(self.schedule(self.global_step)),
@@ -201,17 +222,24 @@ class ASRTrainer:
     def evaluate(self, eval_loader) -> dict:
         for cb in self.callbacks:
             cb.on_evaluate_begin(self)
-        prompt = jnp.asarray(self.cfg.prompt_ids(self.language), jnp.int32)
+        prompt_table = jnp.asarray(
+            [self.cfg.prompt_ids(l) for l in self.languages], jnp.int32)
         losses, preds, refs = [], [], []
         for batch in eval_loader.one_epoch():
+            B = len(batch["texts"])
+            ids = jnp.asarray(batch.get(
+                "language_ids", np.zeros(B, np.int32)), jnp.int32)
+            prompt = (prompt_table[ids] if self.multi_adapter
+                      else prompt_table[0])
             loss, tokens = self._eval_step(
                 self.lora, self.base_params,
                 jnp.asarray(batch["input_features"]),
-                jnp.asarray(batch["labels"]), prompt)
+                jnp.asarray(batch["labels"]), prompt, ids)
             losses.append(float(loss))
-            ids = transcribe_tokens(tokens, self.cfg, prompt_len=prompt.shape[0])
+            plen = int(prompt_table.shape[1])
+            rows = transcribe_tokens(tokens, self.cfg, prompt_len=plen)
             if self.tokenizer is not None:
-                preds.extend(self.tokenizer.decode(row) for row in ids)
+                preds.extend(self.tokenizer.decode(row) for row in rows)
                 refs.extend(batch["texts"])
         metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
                    "num_samples": len(refs)}
