@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 REFERENCE_RTFX_A100_EST = 50.0
-BATCH = 64
+BATCH = 128
 MAX_NEW_TOKENS = 256
 ITERS = 3
 
@@ -80,7 +80,7 @@ def main():
     audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
     rtfx = audio_seconds / elapsed
     print(json.dumps({
-        "metric": "whisper-small greedy transcription RTFx (bf16, batch 64, "
+        "metric": "whisper-small greedy transcription RTFx (bf16, batch 128, "
                   "256 new tokens, mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",
