@@ -28,6 +28,7 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   lora: dict | None = None,
                   adapter_idx: jnp.ndarray | None = None,
                   lora_scale: float = 1.0,
+                  cross_kv_int8: bool = False,
                   suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
@@ -47,7 +48,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     total = min(P + max_new_tokens, cfg.max_target_positions)
 
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
-                               adapter_idx=adapter_idx, lora_scale=lora_scale)
+                               adapter_idx=adapter_idx, lora_scale=lora_scale,
+                               cross_kv_int8=cross_kv_int8)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, suppress_ids=suppress_ids)

@@ -36,7 +36,7 @@ class ASREvaluator:
     def __init__(self, cfg: WhisperConfig, params: dict, tokenizer,
                  language: str = "hindi", max_new_tokens: int = 256,
                  num_beams: int = 1, lora: dict | None = None,
-                 lora_scale: float = 1.0):
+                 lora_scale: float = 1.0, kv_int8: bool = True):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -45,6 +45,7 @@ class ASREvaluator:
         self.num_beams = num_beams
         self.lora = lora
         self.lora_scale = lora_scale
+        self.kv_int8 = kv_int8
         self._prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
         self._build_steps()
 
@@ -56,10 +57,13 @@ class ASREvaluator:
         lora, scale, beams = self.lora, self.lora_scale, self.num_beams
         total = min(int(self._prompt.shape[0]) + mnt, cfg.max_target_positions)
 
+        kv_int8 = self.kv_int8
+
         def prep(params, mel):
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
             return enc, whisper.init_cache(params, enc, cfg, max_len=total,
-                                           lora=lora, lora_scale=scale)
+                                           lora=lora, lora_scale=scale,
+                                           cross_kv_int8=kv_int8)
 
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache

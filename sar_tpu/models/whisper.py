@@ -392,17 +392,36 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 class DecodeCache(NamedTuple):
-    """Static-shape KV cache for autoregressive decode."""
+    """Static-shape KV cache for autoregressive decode.
+
+    Cross K/V may be int8-quantized with per-position (row) scales — decode
+    is cross-KV-bandwidth-bound, and per-row scales factor exactly out of the
+    attention math (scores_s = scale_s * q.k_s; out = sum_s (p_s*vscale_s)
+    v_s), so int8 halves the dominant memory traffic with no change to the
+    softmax structure.
+    """
     self_k: jnp.ndarray    # [L, B, H, max_len, hd]
     self_v: jnp.ndarray
-    cross_k: jnp.ndarray   # [L, B, H, S, hd]
+    cross_k: jnp.ndarray   # [L, B, H, S, hd] (bf16/fp32 or int8)
     cross_v: jnp.ndarray
+    cross_k_scale: jnp.ndarray | None = None  # [L, B, H, S] fp32 (int8 only)
+    cross_v_scale: jnp.ndarray | None = None
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8: x [.., S, hd] -> (int8 values, [.., S] scales)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
 
 
 def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                max_len: int, *, lora: Params | None = None,
                adapter_idx: jnp.ndarray | None = None,
-               lora_scale: float = 1.0) -> DecodeCache:
+               lora_scale: float = 1.0,
+               cross_kv_int8: bool = False) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
@@ -418,16 +437,40 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         lo = lo or {}
         k = split_heads(_proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5), H)
         v = split_heads(_proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6), H)
+        if cross_kv_int8:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            return None, (kq, ks, vq, vs)
         return None, (k, v)
 
-    _, (ck, cv) = jax.lax.scan(
-        body, None, (dec["layers"], lora.get("decoder") if lora else None))
-    S = enc_out.shape[1]
+    dec_lora = lora.get("decoder") if lora else None
+    if cross_kv_int8:
+        _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
+    else:
+        _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
+        cks = cvs = None
     L = ck.shape[0]
     return DecodeCache(
         self_k=jnp.zeros((L, B, H, max_len, hd), dtype),
         self_v=jnp.zeros((L, B, H, max_len, hd), dtype),
-        cross_k=ck, cross_v=cv)
+        cross_k=ck, cross_v=cv, cross_k_scale=cks, cross_v_scale=cvs)
+
+
+def _cross_attention_int8(q, kq, ks, vq, vs):
+    """q [B,H,1,hd]; kq/vq [B,H,S,hd] int8; ks/vs [B,H,S] fp32 -> [B,H,1,hd].
+
+    scores_s = ks_s * (q . kq_s); out = sum_s probs_s * vs_s * vq_s — the
+    per-row scales factor out of both contractions, so the int8 tensors feed
+    the MXU directly (converted on the fly, never materialized dequantized).
+    """
+    dtype = q.dtype
+    scores = jnp.einsum("bhqd,bhsd->bhqs", q, kq.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs[:, :, None, :]).astype(dtype)
+    return jnp.einsum("bhqs,bhsd->bhqd", pw, vq.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
 
 
 def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
@@ -443,7 +486,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     dec = params["decoder"]
     B = tokens.shape[0]
     H = cfg.decoder_heads
-    dtype = cache.cross_k.dtype
+    dtype = cache.self_k.dtype      # cross_k may be int8-quantized
     max_len = cache.self_k.shape[3]
 
     x = dec["token_embed"][tokens][:, None, :].astype(dtype)      # [B, 1, d]
@@ -474,10 +517,15 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
         a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
         x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
-        # Cross-attention against precomputed K/V.
+        # Cross-attention against precomputed K/V (int8 path when quantized).
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
-        a = attention(split_heads(q, H), cache.cross_k[l], cache.cross_v[l])
+        if cache.cross_k_scale is not None:
+            a = _cross_attention_int8(
+                split_heads(q, H), cache.cross_k[l], cache.cross_k_scale[l],
+                cache.cross_v[l], cache.cross_v_scale[l])
+        else:
+            a = attention(split_heads(q, H), cache.cross_k[l], cache.cross_v[l])
         x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
         # MLP.
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])

@@ -38,6 +38,10 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
+    p.add_argument("--kv_cache", type=str, default="int8",
+                   choices=["int8", "bf16"],
+                   help="Cross-attention KV cache precision (int8 halves "
+                        "decode memory traffic; bf16 for exact parity)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_predictions", action="store_true")
     p.add_argument("--per_sample", action="store_true",
@@ -89,7 +93,8 @@ def main(argv=None):
     evaluator = ASREvaluator(cfg, params, tokenizer, language=args.language,
                              max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams, lora=lora,
-                             lora_scale=lora_scale)
+                             lora_scale=lora_scale,
+                             kv_int8=args.kv_cache == "int8")
     results = evaluator.evaluate(loader,
                                  return_predictions=args.save_predictions)
 

@@ -81,3 +81,29 @@ def test_greedy_under_jit(setup, rng):
     eager = greedy_decode(params, whisper.encode(params, mel, cfg), cfg, prompt,
                           max_new_tokens=8)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(eager))
+
+
+def test_int8_cross_kv_close_to_bf16(setup, rng):
+    """int8 cross-KV decode: logits of the first step must be close, token
+    agreement high (random weights = worst case for tie-breaking)."""
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((4, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+
+    cache_bf = whisper.init_cache(params, enc, cfg, max_len=16)
+    cache_q = whisper.init_cache(params, enc, cfg, max_len=16,
+                                 cross_kv_int8=True)
+    tok = jnp.full((4,), cfg.sot_token_id, jnp.int32)
+    logits_bf, _ = whisper.decode_step(params, tok, jnp.int32(0), cache_bf, cfg)
+    logits_q, _ = whisper.decode_step(params, tok, jnp.int32(0), cache_q, cfg)
+    # int8 per-row scales keep logits within a tight tolerance.
+    err = np.abs(np.asarray(logits_bf) - np.asarray(logits_q)).max()
+    assert err < 0.05, err
+
+    a = greedy_decode(params, enc, cfg, prompt, max_new_tokens=10)
+    b = greedy_decode(params, enc, cfg, prompt, max_new_tokens=10,
+                      cross_kv_int8=True)
+    agreement = (np.asarray(a) == np.asarray(b)).mean()
+    assert agreement > 0.9, agreement
