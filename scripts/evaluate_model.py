@@ -74,6 +74,11 @@ def main(argv=None):
     if args.checkpoint not in (None, "none"):
         ckpt = Path(args.checkpoint)
         adapter_dir = ckpt / "adapter" if (ckpt / "adapter").exists() else ckpt
+        if not (adapter_dir / "adapter_config.json").exists():
+            raise SystemExit(
+                f"error: no adapter found at {ckpt} (expected "
+                f"adapter_config.json in it or in an adapter/ subdir); "
+                f"use --checkpoint none for the zero-shot base model")
         lora, lcfg, meta = lora_lib.load_adapter(adapter_dir)
         lora_scale = lcfg.scale
         logger.info("loaded adapter %s (r=%d, alpha=%d, meta=%s)",
