@@ -20,12 +20,14 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_RTFX_A100_EST = 50.0
-BATCH = 128
+MODEL = os.environ.get("BENCH_MODEL", "whisper-small")
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 MAX_NEW_TOKENS = 256
 ITERS = 3
 
@@ -38,7 +40,7 @@ def main():
     from sar_tpu.models.config import get_config
     from sar_tpu.ops import mel as mel_ops
 
-    cfg = get_config("whisper-small")
+    cfg = get_config(MODEL)
     params = whisper.cast_params(
         whisper.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
     prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
@@ -83,8 +85,8 @@ def main():
     audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
     rtfx = audio_seconds / elapsed
     print(json.dumps({
-        "metric": "whisper-small greedy transcription RTFx (bf16 + int8 cross-KV, "
-                  "batch 128, 256 new tokens, mel+encode+decode end-to-end)",
+        "metric": f"{MODEL} greedy transcription RTFx (bf16 + int8 cross-KV, "
+                  f"batch {BATCH}, 256 new tokens, mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtfx / REFERENCE_RTFX_A100_EST, 3),

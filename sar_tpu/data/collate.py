@@ -31,6 +31,7 @@ class SpeechCollator:
     pad_to_multiple: int | None = None   # bucket instead of fixed length
     with_language: bool = False
     num_mels: int = 80                   # used only for the raw-audio path
+    num_frames: int | None = None        # crop mel frames (model input size)
 
     def __call__(self, items: list[dict]) -> dict:
         if "input_features" in items[0]:
@@ -48,6 +49,8 @@ class SpeechCollator:
                 audio[i, :len(a)] = a
             feats = np.asarray(mel_ops.log_mel_spectrogram_jit(
                 jnp.asarray(audio), num_mels=self.num_mels))
+            if self.num_frames is not None:
+                feats = feats[:, :, :self.num_frames]
         labels = [list(it["labels"]) for it in items]
 
         # Strip a uniform leading SOT (model re-prepends it).

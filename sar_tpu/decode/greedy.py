@@ -29,7 +29,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   adapter_idx: jnp.ndarray | None = None,
                   lora_scale: float = 1.0,
                   cross_kv_int8: bool = False,
-                  suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+                  suppress_ids: tuple[int, ...] = (),
+                  begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -52,7 +53,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                cross_kv_int8=cross_kv_int8)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
-        lora_scale=lora_scale, suppress_ids=suppress_ids)
+        lora_scale=lora_scale, suppress_ids=suppress_ids,
+        begin_suppress_ids=begin_suppress_ids)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -60,9 +62,13 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              lora: dict | None = None,
                              adapter_idx: jnp.ndarray | None = None,
                              lora_scale: float = 1.0,
-                             suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+                             suppress_ids: tuple[int, ...] = (),
+                             begin_suppress_ids: tuple[int, ...] = ()
+                             ) -> jnp.ndarray:
     """The decode loop alone, from a prepared DecodeCache (see note above).
-    Total length = cache.self_k.shape[3]."""
+    Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
+    only at the first generated position (HF begin_suppress_tokens
+    semantics; the reference clears these, so both default empty)."""
     B = cache.cross_k.shape[1]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
@@ -74,6 +80,8 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     tokens = jax.lax.dynamic_update_slice(tokens, prompt_ids.astype(jnp.int32), (0, 0))
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
+    begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
+                      if begin_suppress_ids else None)
 
     # Only the mutable self-attention cache is loop-carried; the (large,
     # loop-invariant) cross K/V are closed over so the while body never
@@ -92,6 +100,11 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale)
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
+        if begin_suppress is not None:
+            first_gen = pos == P - 1
+            masked = logits.at[:, begin_suppress].set(
+                jnp.finfo(jnp.float32).min)
+            logits = jnp.where(first_gen, masked, logits)
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Prompt positions force the provided token; finished rows emit EOS.
         in_prompt = pos + 1 < P

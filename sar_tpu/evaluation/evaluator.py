@@ -161,6 +161,7 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
         feats = mel_ops.log_mel_spectrogram(
             audio, cfg.num_mel_bins,
             dtype=jax.tree.leaves(params)[0].dtype)
+        feats = feats[:, :, :cfg.num_audio_frames]
         enc = whisper.encode(params, feats, cfg, lora=lora, lora_scale=lora_scale)
         return greedy_decode(params, enc, cfg, prompt,
                              max_new_tokens=max_new_tokens, lora=lora,

@@ -90,7 +90,8 @@ def main(argv=None):
                         model_config=cfg)
     loader = DataLoader(ds, args.batch_size,
                         create_collator(cfg.sot_token_id,
-                                        num_mels=cfg.num_mel_bins),
+                                        num_mels=cfg.num_mel_bins,
+                                        num_frames=cfg.num_audio_frames),
                         shuffle=False, drop_last=False)
     logger.info("evaluating %d samples (%s/%s)", len(ds), args.language,
                 args.split)

@@ -92,7 +92,8 @@ def main(argv=None):
 
     tokenizer = get_tokenizer(args.model)
     coll = create_collator(cfg.sot_token_id, with_language=True,
-                           num_mels=cfg.num_mel_bins)
+                           num_mels=cfg.num_mel_bins,
+                                        num_frames=cfg.num_audio_frames)
     langs = list(clf_cfg.languages)
 
     per_lang_preds = {l: ([], []) for l in langs}      # predictions, refs

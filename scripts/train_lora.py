@@ -126,7 +126,8 @@ def main(argv=None):
     logger.info("train=%d validation=%d samples", len(train_ds), len(val_ds))
 
     coll = create_collator(cfg.sot_token_id, pad_to_length=args.max_label_length,
-                           num_mels=cfg.num_mel_bins)
+                           num_mels=cfg.num_mel_bins,
+                                        num_frames=cfg.num_audio_frames)
     train_loader = DataLoader(train_ds, args.batch_size, coll, seed=args.seed)
     eval_loader = DataLoader(val_ds, args.batch_size, coll, shuffle=False,
                              drop_last=False)

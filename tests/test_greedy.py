@@ -107,3 +107,25 @@ def test_int8_cross_kv_close_to_bf16(setup, rng):
                       cross_kv_int8=True)
     agreement = (np.asarray(a) == np.asarray(b)).mean()
     assert agreement > 0.9, agreement
+
+
+def test_suppress_and_begin_suppress(setup, rng):
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+    base = greedy_decode(params, enc, cfg, prompt, max_new_tokens=8)
+    P = prompt.shape[0]
+    first = {int(t) for t in np.asarray(base)[:, P]}
+    # Suppressing the tokens the model would emit first must change them.
+    out = greedy_decode(params, enc, cfg, prompt, max_new_tokens=8,
+                        begin_suppress_ids=tuple(first))
+    new_first = {int(t) for t in np.asarray(out)[:, P]}
+    assert new_first.isdisjoint(first)
+    # Global suppression bans the ids everywhere.
+    out2 = greedy_decode(params, enc, cfg, prompt, max_new_tokens=8,
+                         suppress_ids=tuple(first))
+    gen = np.asarray(out2)[:, P:]
+    gen = gen[gen != cfg.eos_token_id]
+    assert not (set(gen.tolist()) & first)

@@ -69,3 +69,21 @@ def test_base_helpers():
     audio = jnp.zeros((1, 480_000), jnp.float32)
     assert features(audio).shape == (1, 80, 3000)
     assert tok.decode(tok.encode("hi", language="english")) == "hi"
+
+
+def test_transcribe_audio_helpers(handle, rng):
+    """transcribe_audio / batch_transcribe parity surface
+    (/root/reference/src/evaluation/__init__.py:172-292)."""
+    from sar_tpu.evaluation.evaluator import batch_transcribe, transcribe_audio
+    from sar_tpu.ops.mel import N_SAMPLES
+    # whisper-test consumes 64 mel frames; the helpers pad to the 30 s window
+    # then the model crops positions — just exercise shapes/flow.
+    audios = [rng.standard_normal(16000).astype("float32") for _ in range(3)]
+    texts = batch_transcribe(audios, handle.cfg, handle.base_params,
+                             handle.tokenizer, language="english",
+                             batch_size=2, max_new_tokens=4)
+    assert len(texts) == 3
+    one = transcribe_audio(audios[0], handle.cfg, handle.base_params,
+                           handle.tokenizer, language="english",
+                           max_new_tokens=4)
+    assert isinstance(one, str)
