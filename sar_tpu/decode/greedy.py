@@ -29,6 +29,7 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   adapter_idx: jnp.ndarray | None = None,
                   lora_scale: float = 1.0,
                   cross_kv_int8: bool = False,
+                  self_kv_int8: bool = False,
                   suppress_ids: tuple[int, ...] = (),
                   begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
@@ -50,7 +51,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
 
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
-                               cross_kv_int8=cross_kv_int8)
+                               cross_kv_int8=cross_kv_int8,
+                               self_kv_int8=self_kv_int8)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, suppress_ids=suppress_ids,
@@ -83,18 +85,23 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
                       if begin_suppress_ids else None)
 
-    # Only the mutable self-attention cache is loop-carried; the (large,
-    # loop-invariant) cross K/V are closed over so the while body never
-    # copies them.
-    cross = cache._replace(self_k=None, self_v=None)
+    # Only the mutable self-attention cache (+ its int8 scales) is
+    # loop-carried; the (large, loop-invariant) cross K/V are closed over so
+    # the while body never copies them.
+    cross = cache._replace(self_k=None, self_v=None,
+                           self_k_scale=None, self_v_scale=None)
+    mutable0 = (cache.self_k, cache.self_v,
+                cache.self_k_scale, cache.self_v_scale)
 
     def cond(state):
-        pos, _, _, _, finished = state
+        pos, _, _, finished = state
         return (pos < total - 1) & ~jnp.all(finished)
 
     def body(state):
-        pos, tokens, sk, sv, finished = state
-        step_cache = cross._replace(self_k=sk, self_v=sv)
+        pos, tokens, mutable, finished = state
+        sk, sv, sks, svs = mutable
+        step_cache = cross._replace(self_k=sk, self_v=sv,
+                                    self_k_scale=sks, self_v_scale=svs)
         logits, step_cache = whisper.decode_step(
             params, tokens[:, pos], pos, step_cache, cfg,
             lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale)
@@ -113,11 +120,12 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = finished | (~in_prompt & (nxt == eos))
-        return pos + 1, tokens, step_cache.self_k, step_cache.self_v, finished
+        mutable = (step_cache.self_k, step_cache.self_v,
+                   step_cache.self_k_scale, step_cache.self_v_scale)
+        return pos + 1, tokens, mutable, finished
 
-    state = (jnp.int32(0), tokens, cache.self_k, cache.self_v,
-             jnp.zeros((B,), bool))
-    _, tokens, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool))
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens
 
 

@@ -400,12 +400,14 @@ class DecodeCache(NamedTuple):
     v_s), so int8 halves the dominant memory traffic with no change to the
     softmax structure.
     """
-    self_k: jnp.ndarray    # [L, B, H, max_len, hd]
+    self_k: jnp.ndarray    # [L, B, H, max_len, hd] (compute dtype or int8)
     self_v: jnp.ndarray
     cross_k: jnp.ndarray   # [L, B, H, S, hd] (bf16/fp32 or int8)
     cross_v: jnp.ndarray
     cross_k_scale: jnp.ndarray | None = None  # [L, B, H, S] fp32 (int8 only)
     cross_v_scale: jnp.ndarray | None = None
+    self_k_scale: jnp.ndarray | None = None   # [L, B, H, max_len] (int8 only)
+    self_v_scale: jnp.ndarray | None = None
 
 
 def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -421,7 +423,8 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                max_len: int, *, lora: Params | None = None,
                adapter_idx: jnp.ndarray | None = None,
                lora_scale: float = 1.0,
-               cross_kv_int8: bool = False) -> DecodeCache:
+               cross_kv_int8: bool = False,
+               self_kv_int8: bool = False) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
@@ -450,23 +453,31 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
         cks = cvs = None
     L = ck.shape[0]
+    self_dtype = jnp.int8 if self_kv_int8 else dtype
     return DecodeCache(
-        self_k=jnp.zeros((L, B, H, max_len, hd), dtype),
-        self_v=jnp.zeros((L, B, H, max_len, hd), dtype),
-        cross_k=ck, cross_v=cv, cross_k_scale=cks, cross_v_scale=cvs)
+        self_k=jnp.zeros((L, B, H, max_len, hd), self_dtype),
+        self_v=jnp.zeros((L, B, H, max_len, hd), self_dtype),
+        cross_k=ck, cross_v=cv, cross_k_scale=cks, cross_v_scale=cvs,
+        self_k_scale=(jnp.zeros((L, B, H, max_len), jnp.float32)
+                      if self_kv_int8 else None),
+        self_v_scale=(jnp.zeros((L, B, H, max_len), jnp.float32)
+                      if self_kv_int8 else None))
 
 
-def _cross_attention_int8(q, kq, ks, vq, vs):
+def _attention_int8(q, kq, ks, vq, vs, mask=None):
     """q [B,H,1,hd]; kq/vq [B,H,S,hd] int8; ks/vs [B,H,S] fp32 -> [B,H,1,hd].
 
     scores_s = ks_s * (q . kq_s); out = sum_s probs_s * vs_s * vq_s — the
     per-row scales factor out of both contractions, so the int8 tensors feed
     the MXU directly (converted on the fly, never materialized dequantized).
+    `mask` (broadcastable to [.,.,1,S]) handles the self-cache valid prefix.
     """
     dtype = q.dtype
     scores = jnp.einsum("bhqd,bhsd->bhqs", q, kq.astype(dtype),
                         preferred_element_type=jnp.float32)
     scores = scores * ks[:, :, None, :]
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(scores, axis=-1)
     pw = (probs * vs[:, :, None, :]).astype(dtype)
     return jnp.einsum("bhqs,bhsd->bhqd", pw, vq.astype(dtype),
@@ -486,7 +497,9 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     dec = params["decoder"]
     B = tokens.shape[0]
     H = cfg.decoder_heads
-    dtype = cache.self_k.dtype      # cross_k may be int8-quantized
+    self_int8 = cache.self_k_scale is not None
+    dtype = (params["decoder"]["token_embed"].dtype if self_int8
+             else cache.self_k.dtype)
     max_len = cache.self_k.shape[3]
 
     x = dec["token_embed"][tokens][:, None, :].astype(dtype)      # [B, 1, d]
@@ -503,6 +516,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     # v5e (whisper-small, B=64): 8.0 ms/step unrolled vs 12.7 ms/step with a
     # fori_loop, vs 20+ ms/step with a scan that re-stacked the whole cache.
     sk_all, sv_all = cache.self_k, cache.self_v
+    sks_all, svs_all = cache.self_k_scale, cache.self_v_scale
     L = sk_all.shape[0]
     for l in range(L):
         p = jax.tree.map(lambda a: a[l], dec["layers"])
@@ -513,15 +527,25 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
         k = split_heads(_proj(h, p["self_k"], lo.get("self_k"), ctx, 1), H)
         v = split_heads(_proj(h, p["self_v"], lo.get("self_v"), ctx, 2), H)
-        sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
-        sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
-        a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
+        if self_int8:
+            kq, ks = quantize_kv(k)
+            vq, vs = quantize_kv(v)
+            sk_all = jax.lax.dynamic_update_slice(sk_all, kq[None], (l, 0, 0, pos, 0))
+            sv_all = jax.lax.dynamic_update_slice(sv_all, vq[None], (l, 0, 0, pos, 0))
+            sks_all = jax.lax.dynamic_update_slice(sks_all, ks[None], (l, 0, 0, pos))
+            svs_all = jax.lax.dynamic_update_slice(svs_all, vs[None], (l, 0, 0, pos))
+            a = _attention_int8(split_heads(q, H), sk_all[l], sks_all[l],
+                                sv_all[l], svs_all[l], mask=pos_mask)
+        else:
+            sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
+            sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
+            a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
         x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
         # Cross-attention against precomputed K/V (int8 path when quantized).
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
         if cache.cross_k_scale is not None:
-            a = _cross_attention_int8(
+            a = _attention_int8(
                 split_heads(q, H), cache.cross_k[l], cache.cross_k_scale[l],
                 cache.cross_v[l], cache.cross_v_scale[l])
         else:
@@ -531,8 +555,8 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
         h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
         x = x + linear(h, p["fc2"])
-    new_sk, new_sv = sk_all, sv_all
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     logits = jnp.dot(x[:, 0], dec["token_embed"].T.astype(dtype),
                      preferred_element_type=jnp.float32)
-    return logits, cache._replace(self_k=new_sk, self_v=new_sv)
+    return logits, cache._replace(self_k=sk_all, self_v=sv_all,
+                                  self_k_scale=sks_all, self_v_scale=svs_all)
