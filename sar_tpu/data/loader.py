@@ -30,6 +30,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.current_epoch = 0   # epoch of the most recently yielded batch
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -54,9 +55,13 @@ class DataLoader:
         def gen():
             epoch = 0
             while True:
-                yield from self._epoch_batches(epoch)
+                for b in self._epoch_batches(epoch):
+                    yield epoch, b
                 epoch += 1
-        yield from self._prefetched(gen())
+
+        for epoch, b in self._prefetched(gen()):
+            self.current_epoch = epoch
+            yield b
 
     def _prefetched(self, it: Iterator[dict]) -> Iterator[dict]:
         if self.prefetch <= 0:

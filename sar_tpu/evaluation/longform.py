@@ -1,0 +1,57 @@
+"""Long-form transcription: audio beyond Whisper's 30 s window.
+
+The reference simply DROPS clips longer than 30 s (duration filter at
+/root/reference/src/data/dataset.py:59-77); there is no long-audio path at
+all. Here: the waveform is split into 30 s chunks, all chunks transcribe as
+ONE batch through the compiled pipeline (mel + encode + KV-cached greedy),
+and the texts are joined in order. Sequential conditioning on previous text
+is deliberately not used (the reference never decodes with prompts either);
+chunk boundaries may split a word — pass `overlap_seconds` to bias against
+mid-speech cuts by trimming half the overlap from each side's text is NOT
+attempted (text-level merging is tokenizer-specific); overlap simply re-cues
+the acoustic context.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sar_tpu.ops import mel as mel_ops
+
+
+def chunk_audio(audio: np.ndarray, chunk_seconds: float = 30.0,
+                overlap_seconds: float = 0.0,
+                sample_rate: int = mel_ops.SAMPLE_RATE) -> list[np.ndarray]:
+    """Split a waveform into fixed chunks (last one short)."""
+    chunk = int(chunk_seconds * sample_rate)
+    hop = chunk - int(overlap_seconds * sample_rate)
+    if hop <= 0:
+        raise ValueError("overlap must be smaller than the chunk size")
+    audio = np.asarray(audio, np.float32)
+    if len(audio) <= chunk:
+        return [audio]
+    out = []
+    for start in range(0, len(audio), hop):
+        piece = audio[start:start + chunk]
+        if len(piece) < int(0.2 * sample_rate) and out:
+            break                       # ignore a sub-200ms tail
+        out.append(piece)
+        if start + chunk >= len(audio):
+            break
+    return out
+
+
+def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
+                    language: str = "hindi", max_new_tokens: int = 256,
+                    chunk_seconds: float = 30.0,
+                    overlap_seconds: float = 0.0,
+                    batch_size: int = 8, lora: dict | None = None,
+                    lora_scale: float = 1.0) -> str:
+    """Transcribe arbitrarily long audio; returns the joined text."""
+    from sar_tpu.evaluation.evaluator import batch_transcribe
+    chunks = chunk_audio(audio, chunk_seconds, overlap_seconds)
+    texts = batch_transcribe(chunks, cfg, params, tokenizer,
+                             language=language, batch_size=batch_size,
+                             max_new_tokens=max_new_tokens, lora=lora,
+                             lora_scale=lora_scale)
+    return " ".join(t.strip() for t in texts if t.strip())

@@ -180,7 +180,16 @@ class ASRTrainer:
         batch_iter = train_loader.iterate()
         accum = args.gradient_accumulation_steps
         t0 = time.time()
+        for cb in self.callbacks:
+            cb.on_epoch_begin(self, self.epoch)
         while self.global_step < args.max_steps:
+            loader_epoch = getattr(train_loader, "current_epoch", 0)
+            if loader_epoch != self.epoch:
+                for cb in self.callbacks:
+                    cb.on_epoch_end(self, self.epoch)
+                self.epoch = loader_epoch
+                for cb in self.callbacks:
+                    cb.on_epoch_begin(self, self.epoch)
             for cb in self.callbacks:
                 cb.on_step_begin(self, self.global_step)
             micro = [next(batch_iter) for _ in range(accum)]
@@ -215,6 +224,7 @@ class ASRTrainer:
                     break
 
         for cb in self.callbacks:
+            cb.on_epoch_end(self, self.epoch)
             cb.on_train_end(self)
         return history
 

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark CLI: RTFx sweeps across model / batch / precision / decoder.
+
+The reference has no benchmark tooling at all (SURVEY.md §6: quality
+baselines only, latency was a "planned metric"). `bench.py` is the driver's
+one-line headline; this CLI is the engineer's tool: sweeps with a table and
+JSON output, on real hardware.
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("benchmark")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="RTFx benchmark sweeps (TPU)")
+    p.add_argument("--model", type=str, default="whisper-small")
+    p.add_argument("--batch_sizes", type=int, nargs="+", default=[32, 128])
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--kv_cache", type=str, nargs="+", default=["int8"],
+                   choices=["int8", "bf16"])
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--output", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sar_tpu.decode.greedy import greedy_decode_from_cache
+    from sar_tpu.models import whisper
+    from sar_tpu.ops import mel as mel_ops
+
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+    total = min(len(cfg.prompt_ids("hindi")) + max_new_tokens,
+                cfg.max_target_positions)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, mel_ops.N_SAMPLES)) * 0.1,
+                        jnp.float32)
+
+    @jax.jit
+    def prep(params, audio):
+        feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
+                                            dtype=jnp.bfloat16)
+        enc = whisper.encode(params, feats, cfg)
+        return whisper.init_cache(params, enc, cfg, max_len=total,
+                                  cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
+
+    @jax.jit
+    def dec(params, cache):
+        return greedy_decode_from_cache(params, cache, cfg, prompt)
+
+    np.asarray(dec(params, prep(params, audio)))      # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = dec(params, prep(params, audio))
+    np.asarray(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {"batch": batch, "kv": "int8" if kv_int8 else "bf16",
+            "seconds_per_batch": round(dt, 4),
+            "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
+            "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+    from sar_tpu.models import whisper
+    from sar_tpu.models.base import load_base_model
+
+    cfg, params = load_base_model(args.model, dtype=jnp.bfloat16)
+    rows = []
+    print(f"{'batch':>6} {'kv':>5} {'s/batch':>9} {'RTFx':>8} {'ms/tok':>8}")
+    for kv in args.kv_cache:
+        for b in args.batch_sizes:
+            try:
+                r = run_config(cfg, params, b, args.max_new_tokens,
+                               kv == "int8", args.iters)
+            except Exception as e:
+                logger.warning("config batch=%d kv=%s failed: %s", b, kv, e)
+                continue
+            rows.append(r)
+            print(f"{r['batch']:>6} {r['kv']:>5} {r['seconds_per_batch']:>9} "
+                  f"{r['rtfx']:>8} {r['ms_per_token']:>8}")
+    report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
+              "results": rows}
+    if args.output:
+        Path(args.output).write_text(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()
