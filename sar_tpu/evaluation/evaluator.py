@@ -63,7 +63,8 @@ class ASREvaluator:
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
             return enc, whisper.init_cache(params, enc, cfg, max_len=total,
                                            lora=lora, lora_scale=scale,
-                                           cross_kv_int8=kv_int8)
+                                           cross_kv_int8=kv_int8,
+                                           self_kv_int8=kv_int8)
 
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
