@@ -28,7 +28,9 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 max_new_tokens: int = 256, length_penalty: float = 1.0,
                 lora: dict | None = None,
                 adapter_idx: jnp.ndarray | None = None,
-                lora_scale: float = 1.0) -> jnp.ndarray:
+                lora_scale: float = 1.0,
+                cross_kv_int8: bool = False,
+                self_kv_int8: bool = False) -> jnp.ndarray:
     """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total]."""
     B, S, D = enc_out.shape
     K = num_beams
@@ -43,7 +45,9 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     enc_k = jnp.repeat(enc_out, K, axis=0)
     idx_k = None if adapter_idx is None else jnp.repeat(adapter_idx, K, axis=0)
     cache = whisper.init_cache(params, enc_k, cfg, max_len=total, lora=lora,
-                               adapter_idx=idx_k, lora_scale=lora_scale)
+                               adapter_idx=idx_k, lora_scale=lora_scale,
+                               cross_kv_int8=cross_kv_int8,
+                               self_kv_int8=self_kv_int8)
 
     tokens = jnp.full((B, K, total), eos, jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt_ids[:, None, :])
@@ -89,9 +93,16 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         tokens = jax.lax.dynamic_update_slice(
             tokens, new_tok[..., None], (0, 0, pos + 1))
         finished = finished.reshape(B * K)[gather].reshape(B, K)
-        cache = jax.tree.map(
-            lambda x: x[:, gather] if x.ndim >= 2 and x.shape[1] == B * K else x,
-            cache)
+        # Reorder ONLY the self cache (+ its scales): beam_src stays within a
+        # sample, and cross K/V are identical across a sample's beams — their
+        # reorder would be a multi-GB no-op.
+        cache = cache._replace(
+            self_k=cache.self_k[:, gather],
+            self_v=cache.self_v[:, gather],
+            self_k_scale=(None if cache.self_k_scale is None
+                          else cache.self_k_scale[:, gather]),
+            self_v_scale=(None if cache.self_v_scale is None
+                          else cache.self_v_scale[:, gather]))
         finished = finished | (~in_prompt & (new_tok == eos))
         return pos + 1, tokens, new_scores, cache, finished
 

@@ -70,3 +70,12 @@ def test_beam_under_jit(setup):
     a = f(params, enc)
     b = beam_decode(params, enc, cfg, prompt, num_beams=2, max_new_tokens=6)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_beam_int8_kv(setup):
+    cfg, params, enc, prompt = setup
+    a = beam_decode(params, enc, cfg, prompt, num_beams=3, max_new_tokens=8)
+    b = beam_decode(params, enc, cfg, prompt, num_beams=3, max_new_tokens=8,
+                    cross_kv_int8=True, self_kv_int8=True)
+    agreement = (np.asarray(a) == np.asarray(b)).mean()
+    assert agreement > 0.85, agreement

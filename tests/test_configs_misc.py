@@ -91,3 +91,12 @@ def test_scripts_importable():
     for mod in (train_lora, evaluate_model, train_router, route_infer,
                 download_datasets):
         assert hasattr(mod, "main") and hasattr(mod, "parse_args")
+
+
+def test_job_scripts_syntax():
+    """Grid scripts (jobs/*.sh) must at least parse (bash -n)."""
+    import subprocess
+    scripts = sorted((ROOT / "jobs").glob("*.sh"))
+    assert len(scripts) == 6
+    for s in scripts:
+        subprocess.run(["bash", "-n", str(s)], check=True)
