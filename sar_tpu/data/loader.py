@@ -22,7 +22,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, collator: Callable,
                  shuffle: bool = True, seed: int = 42, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collator = collator
@@ -30,6 +30,9 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Parallel collation threads (the torch num_workers analogue; item
+        # fetch + tokenize + pad overlap device compute; mel runs on device).
+        self.num_workers = num_workers
         self.current_epoch = 0   # epoch of the most recently yielded batch
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
@@ -42,11 +45,23 @@ class DataLoader:
         idx = self._epoch_indices(epoch)
         B = self.batch_size
         end = (len(idx) // B) * B if self.drop_last else len(idx)
+        chunks = []
         for s in range(0, end, B):
             chunk = idx[s:s + B]
             if self.drop_last and len(chunk) < B:
                 break
-            yield self.collator([self.dataset[int(i)] for i in chunk])
+            chunks.append(chunk)
+
+        def make(chunk):
+            return self.collator([self.dataset[int(i)] for i in chunk])
+
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                yield from pool.map(make, chunks)
+        else:
+            for chunk in chunks:
+                yield make(chunk)
 
     def one_epoch(self, epoch: int = 0) -> Iterator[dict]:
         yield from self._prefetched(self._epoch_batches(epoch))

@@ -102,3 +102,14 @@ def test_loader_epochs_and_shuffle():
     e0 = [t for b in loader.one_epoch(0) for t in b["texts"]]
     e1 = [t for b in loader.one_epoch(1) for t in b["texts"]]
     assert sorted(e0) == sorted(e1)
+
+
+def test_loader_num_workers_order_preserved():
+    cfg = get_config("whisper-test")
+    ds = SyntheticASRDataset(cfg, size=12, seed=0)
+    coll = create_collator(cfg.sot_token_id, pad_to_length=16)
+    serial = DataLoader(ds, 3, coll, shuffle=False, num_workers=0)
+    parallel = DataLoader(ds, 3, coll, shuffle=False, num_workers=4)
+    a = [b["texts"] for b in serial.one_epoch()]
+    b = [b["texts"] for b in parallel.one_epoch()]
+    assert a == b
