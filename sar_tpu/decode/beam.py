@@ -10,6 +10,12 @@ whole search stays on device with static shapes.
 Scoring: sum of token log-probs; finished beams absorb further steps with
 log-prob 0 (EOS-locked). Final selection divides by generated length**
 length_penalty (HF convention, default 1.0).
+
+Performance note: like every cache-reordering beam search (HF
+reorder_cache, t5x), each step gathers the whole self cache along the beam
+axis — ~2-3x the per-token cost of greedy. Cross K/V are NOT reordered
+(identical across a sample's beams). Use int8 KV flags to halve the gather
+traffic.
 """
 
 from __future__ import annotations
