@@ -35,7 +35,6 @@ ITERS = 3
 def main():
     import jax
     import jax.numpy as jnp
-    from sar_tpu.decode import greedy_decode
     from sar_tpu.models import whisper
     from sar_tpu.models.config import get_config
     from sar_tpu.ops import mel as mel_ops

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 
 from sar_tpu.data.tokenizer import get_tokenizer  # noqa: F401  (re-export)
 from sar_tpu.models import convert, whisper
-from sar_tpu.models.config import (HF_MODEL_IDS, MODEL_CONFIGS, WhisperConfig,
-                                   get_config, get_model_info)  # noqa: F401
+from sar_tpu.models.config import HF_MODEL_IDS, get_config
 
 logger = logging.getLogger(__name__)
 

@@ -21,7 +21,6 @@ Weight convention: linear weights are [d_in, d_out] (y = x @ w + b).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax

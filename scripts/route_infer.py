@@ -58,7 +58,6 @@ def main(argv=None):
     args = parse_args(argv)
 
     import jax.numpy as jnp
-    import numpy as np
     from sar_tpu.data.collate import create_collator
     from sar_tpu.data.datasets import create_dataset
     from sar_tpu.data.loader import DataLoader

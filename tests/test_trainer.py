@@ -118,3 +118,46 @@ def test_mixed_precision_bf16(world):
     assert jax.tree.leaves(t.lora)[0].dtype == jnp.float32
     hist = t.train(train_loader)
     assert np.isfinite(hist["loss"]).all()
+
+
+def test_checkpoint_callback_rolling_limit(world, tmp_path):
+    """Periodic checkpoints beyond save_total_limit are pruned; best is kept
+    (parity with callbacks.py:123-218)."""
+    from sar_tpu.training import CheckpointCallback
+
+    class FakeTrainer:
+        best_metric = None
+        global_step = 0
+
+        def save_checkpoint(self, path):
+            from pathlib import Path
+            Path(path).mkdir(parents=True, exist_ok=True)
+            (Path(path) / "marker").write_text("x")
+
+    t = FakeTrainer()
+    cb = CheckpointCallback(tmp_path, save_steps=1, save_total_limit=2)
+    for step in (1, 2, 3, 4):
+        cb.on_step_end(t, step, {})
+    kept = sorted(p.name for p in tmp_path.glob("step_*"))
+    assert kept == ["step_3", "step_4"]
+    cb.on_evaluate_end(t, {"wer": 0.5})
+    cb.on_evaluate_end(t, {"wer": 0.9})   # worse: best not overwritten... still exists
+    assert (tmp_path / "best" / "marker").exists()
+    assert cb.best_value == 0.5
+
+
+def test_wandb_tensorboard_noop(world):
+    """Missing wandb/tensorboard degrade to no-ops (this image has neither
+    wandb nor a SummaryWriter-compatible tensorboard)."""
+    from sar_tpu.training import TensorBoardCallback, WandbCallback
+
+    class T: global_step = 1
+    w = WandbCallback()
+    w.on_train_begin(T)
+    w.on_step_end(T, 1, {"loss": 1.0})
+    w.on_evaluate_end(T, {"wer": 1.0})
+    w.on_train_end(T)
+    tb = TensorBoardCallback("/tmp/tb-test")
+    tb.on_train_begin(T)
+    tb.on_step_end(T, 1, {"loss": 1.0})
+    tb.on_train_end(T)
