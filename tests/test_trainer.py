@@ -15,7 +15,8 @@ from sar_tpu.models import lora as lora_lib
 from sar_tpu.models import whisper
 from sar_tpu.models.config import get_config
 from sar_tpu.training import (ASRTrainer, CheckpointCallback,
-                              EarlyStoppingCallback, TrainingArgs)
+                              EarlyStoppingCallback, TensorBoardCallback,
+                              TrainingArgs, WandbCallback)
 from sar_tpu.training.optim import make_schedule
 
 
@@ -120,10 +121,9 @@ def test_mixed_precision_bf16(world):
     assert np.isfinite(hist["loss"]).all()
 
 
-def test_checkpoint_callback_rolling_limit(world, tmp_path):
+def test_checkpoint_callback_rolling_limit(tmp_path):
     """Periodic checkpoints beyond save_total_limit are pruned; best is kept
     (parity with callbacks.py:123-218)."""
-    from sar_tpu.training import CheckpointCallback
 
     class FakeTrainer:
         best_metric = None
@@ -146,18 +146,28 @@ def test_checkpoint_callback_rolling_limit(world, tmp_path):
     assert cb.best_value == 0.5
 
 
-def test_wandb_tensorboard_noop(world):
-    """Missing wandb/tensorboard degrade to no-ops (this image has neither
-    wandb nor a SummaryWriter-compatible tensorboard)."""
-    from sar_tpu.training import TensorBoardCallback, WandbCallback
+def test_wandb_tensorboard_noop(tmp_path, monkeypatch):
+    """Missing wandb/tensorboard degrade to no-ops."""
+    import builtins
 
     class T: global_step = 1
-    w = WandbCallback()
+    w = WandbCallback()   # wandb genuinely absent in this image
     w.on_train_begin(T)
     w.on_step_end(T, 1, {"loss": 1.0})
     w.on_evaluate_end(T, {"wer": 1.0})
     w.on_train_end(T)
-    tb = TensorBoardCallback("/tmp/tb-test")
+
+    # Force the tensorboard import to fail to exercise the no-op branch.
+    real_import = builtins.__import__
+
+    def broken(name, *a, **kw):
+        if name.startswith("torch.utils.tensorboard"):
+            raise ImportError(name)
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", broken)
+    tb = TensorBoardCallback(tmp_path / "tb")
     tb.on_train_begin(T)
+    assert tb._writer is None
     tb.on_step_end(T, 1, {"loss": 1.0})
     tb.on_train_end(T)
