@@ -21,6 +21,25 @@ import numpy as np
 LABEL_PAD = -100
 
 
+def batch_features(items: list[dict], num_mels: int = 80,
+                   num_frames: int | None = None) -> np.ndarray:
+    """Stack precomputed "input_features", or — for raw-audio items —
+    pad/trim to the 30 s window and run the batched ON-DEVICE mel frontend
+    (replaces the reference's per-item CPU feature_extractor,
+    dataset.py:124-134)."""
+    if "input_features" in items[0]:
+        return np.stack([np.asarray(it["input_features"], np.float32)
+                         for it in items])
+    import jax.numpy as jnp
+    from sar_tpu.ops import mel as mel_ops
+    audio = mel_ops.stack_pad_audio([it["audio"] for it in items])
+    feats = np.asarray(mel_ops.log_mel_spectrogram_jit(
+        jnp.asarray(audio), num_mels=num_mels))
+    if num_frames is not None:
+        feats = feats[:, :, :num_frames]
+    return feats
+
+
 @dataclasses.dataclass
 class SpeechCollator:
     """Collates items {"input_features": [M, T], "labels": list[int],
@@ -34,23 +53,7 @@ class SpeechCollator:
     num_frames: int | None = None        # crop mel frames (model input size)
 
     def __call__(self, items: list[dict]) -> dict:
-        if "input_features" in items[0]:
-            feats = np.stack([np.asarray(it["input_features"], np.float32)
-                              for it in items])
-        else:
-            # Raw-audio items: pad/trim to the 30 s window and run the
-            # batched on-device mel frontend (replaces the reference's
-            # per-item CPU feature_extractor, dataset.py:124-134).
-            import jax.numpy as jnp
-            from sar_tpu.ops import mel as mel_ops
-            audio = np.zeros((len(items), mel_ops.N_SAMPLES), np.float32)
-            for i, it in enumerate(items):
-                a = np.asarray(it["audio"], np.float32)[:mel_ops.N_SAMPLES]
-                audio[i, :len(a)] = a
-            feats = np.asarray(mel_ops.log_mel_spectrogram_jit(
-                jnp.asarray(audio), num_mels=self.num_mels))
-            if self.num_frames is not None:
-                feats = feats[:, :, :self.num_frames]
+        feats = batch_features(items, self.num_mels, self.num_frames)
         labels = [list(it["labels"]) for it in items]
 
         # Strip a uniform leading SOT (model re-prepends it).
@@ -85,15 +88,19 @@ def create_collator(decoder_start_token_id: int, with_language: bool = False,
                           with_language=with_language, **kw)
 
 
+@dataclasses.dataclass
 class LIDCollator:
-    """Stacks fixed-shape mel features + language labels for LID training
-    (parity with /root/reference/scripts/train_router.py:151-169; no padding
-    needed — Whisper mels are fixed shape)."""
+    """Mel features + language labels for LID training (parity with
+    /root/reference/scripts/train_router.py:151-169). Handles both
+    precomputed-feature items and raw-audio items (ASRDataset output)."""
+
+    num_mels: int = 80
+    num_frames: int | None = None
 
     def __call__(self, items: list[dict]) -> dict:
         return {
-            "input_features": np.stack(
-                [np.asarray(it["input_features"], np.float32) for it in items]),
+            "input_features": batch_features(items, self.num_mels,
+                                             self.num_frames),
             "language_ids": np.asarray(
                 [it["language_id"] for it in items], np.int32),
         }

@@ -56,9 +56,21 @@ class DataLoader:
             return self.collator([self.dataset[int(i)] for i in chunk])
 
         if self.num_workers > 0:
+            # Bounded pipeline: at most num_workers + prefetch batches in
+            # flight (Executor.map would eagerly submit the whole epoch and
+            # buffer every completed batch -> host OOM on real datasets).
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
+            depth = self.num_workers + max(self.prefetch, 1)
             with ThreadPoolExecutor(self.num_workers) as pool:
-                yield from pool.map(make, chunks)
+                pending: deque = deque()
+                it = iter(chunks)
+                for chunk in it:
+                    pending.append(pool.submit(make, chunk))
+                    if len(pending) >= depth:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
         else:
             for chunk in chunks:
                 yield make(chunk)
@@ -89,8 +101,9 @@ class DataLoader:
             try:
                 for item in it:
                     q.put(item)
-            finally:
                 q.put(stop)
+            except BaseException as e:   # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -98,6 +111,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def __len__(self):

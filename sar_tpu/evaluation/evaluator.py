@@ -66,6 +66,9 @@ class ASREvaluator:
                                            cross_kv_int8=kv_int8,
                                            self_kv_int8=kv_int8)
 
+        def prep_enc_only(params, mel):
+            return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
+
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
             return greedy_decode_from_cache(params, cache, cfg, prompt,
@@ -77,14 +80,17 @@ class ASREvaluator:
                                max_new_tokens=mnt, lora=lora, lora_scale=scale)
 
         self._prep = jax.jit(prep)
+        self._prep_enc = jax.jit(prep_enc_only)
         self._decode = jax.jit(dec)
         self._beam = jax.jit(beam)
 
     def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
-        enc, cache = self._prep(self.params, mel)
         if self.num_beams > 1:
+            # Beam builds its own beam-expanded cache; skip the greedy cache.
+            enc = self._prep_enc(self.params, mel)
             tokens = self._beam(self.params, enc, self._prompt)
         else:
+            _, cache = self._prep(self.params, mel)
             tokens = self._decode(self.params, cache, self._prompt)
         ids = transcribe_tokens(tokens, self.cfg,
                                 prompt_len=int(self._prompt.shape[0]))
@@ -172,10 +178,8 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
     for s in range(0, len(audios), batch_size):
         chunk = audios[s:s + batch_size]
         n = len(chunk)
-        padded = np.zeros((batch_size, mel_ops.N_SAMPLES), np.float32)
-        for i, a in enumerate(chunk):
-            a = np.asarray(a, np.float32)[:mel_ops.N_SAMPLES]
-            padded[i, :len(a)] = a
+        padded = mel_ops.stack_pad_audio(
+            chunk + [np.zeros(1, np.float32)] * (batch_size - n))
         tokens = run(params, jnp.asarray(padded))
         ids = transcribe_tokens(tokens[:n], cfg, prompt_len=int(prompt.shape[0]))
         texts.extend(tokenizer.decode(row) for row in ids)

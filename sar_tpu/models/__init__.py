@@ -31,5 +31,5 @@ def __getattr__(name):
     if name in _LAZY:
         import importlib
         mod = importlib.import_module(f"sar_tpu.models.{_LAZY[name]}")
-        return mod if name == "LanguageClassifier" else getattr(mod, name)
+        return getattr(mod, name)
     raise AttributeError(name)

@@ -278,6 +278,40 @@ def get_hidden_dim(cfg: WhisperConfig) -> int:
     return cfg.d_model
 
 
+class LanguageClassifier:
+    """Object handle bundling (params, config) — the parity-named class for
+    users porting from the reference's nn.Module (adapter_router.py:14).
+    Compute goes through the functional apply_classifier/predict."""
+
+    def __init__(self, config: ClassifierConfig,
+                 params: dict | None = None, seed: int = 0):
+        self.config = config
+        self.params = params if params is not None else init_classifier(
+            jax.random.PRNGKey(seed), config)
+
+    def __call__(self, hidden_states, attention_mask=None, labels=None,
+                 train=False, rng=None):
+        return apply_classifier(self.params, self.config, hidden_states,
+                                attention_mask, labels, train, rng)
+
+    forward = __call__
+
+    def predict(self, hidden_states, attention_mask=None):
+        return predict(self.params, self.config, hidden_states, attention_mask)
+
+    def predict_language(self, hidden_states, attention_mask=None):
+        return predict_language(self.params, self.config, hidden_states,
+                                attention_mask)
+
+    def save(self, path, metadata=None):
+        save_classifier(path, self.params, self.config, metadata)
+
+    @staticmethod
+    def load(path) -> "LanguageClassifier":
+        params, cfg, _ = load_classifier(path)
+        return LanguageClassifier(cfg, params)
+
+
 # ---------------------------------------------------------------------------
 # Save / load (parity with :332-389)
 # ---------------------------------------------------------------------------

@@ -128,12 +128,16 @@ class AdapterRouter:
     # -- Routed generation ----------------------------------------------------
     def generate(self, input_features: jnp.ndarray,
                  language: str | None = None,
+                 adapter_idx: jnp.ndarray | None = None,
                  max_new_tokens: int = 256) -> jnp.ndarray:
         """Batched routed transcription (parity with :715-761; the reference's
-        per-sample loop becomes one compiled decode)."""
+        per-sample loop becomes one compiled decode). Pass `adapter_idx`
+        (e.g. from an earlier detect_language) to skip re-detection."""
         B = input_features.shape[0]
         if language is not None:
             idx = jnp.full((B,), self.lang_to_idx[language], jnp.int32)
+        elif adapter_idx is not None:
+            idx = jnp.asarray(adapter_idx, jnp.int32)
         else:
             feats = self.extract_encoder_features(input_features)
             idx, _ = clf.predict(self.clf_params, self.clf_cfg, feats)

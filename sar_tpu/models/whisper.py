@@ -188,7 +188,7 @@ def _init_dec_layer(key, cfg: WhisperConfig):
 
 def init_params(key: jax.Array, cfg: WhisperConfig) -> Params:
     """Random-init full parameter pytree (tests / from-scratch training)."""
-    k_enc, k_dec, k_embed, kc1, kc2 = jax.random.split(key, 5)
+    k_enc, k_dec, k_tok, k_pos, kc1, kc2 = jax.random.split(key, 6)
     enc_layers = _stack([_init_enc_layer(k, cfg)
                          for k in jax.random.split(k_enc, cfg.encoder_layers)])
     dec_layers = _stack([_init_dec_layer(k, cfg)
@@ -205,8 +205,8 @@ def init_params(key: jax.Array, cfg: WhisperConfig) -> Params:
             "ln": _init_ln(d),
         },
         "decoder": {
-            "token_embed": jax.random.normal(k_embed, (cfg.vocab_size, d)) * 0.02,
-            "pos_embed": jax.random.normal(k_embed, (cfg.max_target_positions, d)) * 0.02,
+            "token_embed": jax.random.normal(k_tok, (cfg.vocab_size, d)) * 0.02,
+            "pos_embed": jax.random.normal(k_pos, (cfg.max_target_positions, d)) * 0.02,
             "layers": dec_layers,
             "ln": _init_ln(d),
         },

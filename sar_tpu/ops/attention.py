@@ -11,8 +11,11 @@ Shapes: q [B, H, hd], k/v [B, H, S, hd] -> out [B, H, hd].
 `valid_len` (optional, [1] int32 in SMEM) masks positions >= valid_len for
 the self-attention cache case; cross-attention passes None (full S).
 
-Used by sar_tpu.models.whisper.decode_step on TPU; a jnp reference path
-(`decode_attention_reference`) keeps CPU tests and interpret-mode parity.
+Status: an EXPERIMENT, not wired into decode_step — measured standalone it
+is dispatch-bound at these shapes, and the production decode path instead
+reaches the bandwidth roofline via int8 KV (whisper._attention_int8). Kept
+with interpret-mode parity tests as the starting point for a fused
+(int8-dequant + score + softmax + PV) decode kernel.
 """
 
 from __future__ import annotations

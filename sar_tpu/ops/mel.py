@@ -121,6 +121,17 @@ def pad_or_trim(audio: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
     return jnp.pad(audio, pad)
 
 
+def stack_pad_audio(audios, length: int = N_SAMPLES) -> np.ndarray:
+    """Host-side batch form of pad_or_trim: list of 1-D waveforms ->
+    [B, length] float32 (single shared implementation for collators and
+    transcribe helpers)."""
+    out = np.zeros((len(audios), length), np.float32)
+    for i, a in enumerate(audios):
+        a = np.asarray(a, np.float32)[:length]
+        out[i, :len(a)] = a
+    return out
+
+
 def log_mel_spectrogram(audio: jnp.ndarray, num_mels: int = 80,
                         dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """Batched log-mel features, [B, num_mels, N_FRAMES].

@@ -101,17 +101,26 @@ def main(argv=None):
                              num_beams=args.num_beams, lora=lora,
                              lora_scale=lora_scale,
                              kv_int8=args.kv_cache == "int8")
-    results = evaluator.evaluate(loader,
-                                 return_predictions=args.save_predictions)
+    need_preds = args.save_predictions or args.per_sample
+    results = evaluator.evaluate(loader, return_predictions=need_preds)
 
     print(f"WER: {results['wer'] * 100:.2f}%")
     print(f"CER: {results['cer'] * 100:.2f}%")
     print(f"Samples: {results['num_samples']}")
 
     if args.output_dir:
-        evaluator.save_results(results, args.output_dir)
+        to_save = results if args.save_predictions else {
+            k: v for k, v in results.items()
+            if k not in ("predictions", "references")}
+        evaluator.save_results(to_save, args.output_dir)
         if args.per_sample:
-            per = evaluator.evaluate_per_sample(loader)
+            # Reuse the predictions already computed (no second decode pass).
+            from sar_tpu.training.metrics import compute_metrics_per_sample
+            per = compute_metrics_per_sample(results["predictions"],
+                                             results["references"])
+            for row, p, r in zip(per, results["predictions"],
+                                 results["references"]):
+                row["prediction"], row["reference"] = p, r
             (Path(args.output_dir) / "per_sample.json").write_text(
                 json.dumps(per, indent=2, ensure_ascii=False))
         logger.info("wrote results to %s", args.output_dir)

@@ -109,11 +109,14 @@ def main(argv=None):
         for batch in loader.one_epoch():
             mel = jnp.asarray(batch["input_features"])
             feats = router.extract_encoder_features(mel)
-            detected, _ = router.detect_language(feats)
+            detected, probs = router.detect_language(feats)
             detect_hits += sum(d == lang for d in detected)
             detect_total += len(detected)
 
-            tokens = router.generate(mel, max_new_tokens=args.max_new_tokens)
+            # Reuse the detection (one LID pass per batch, not two).
+            idx = jnp.asarray([router.lang_to_idx[d] for d in detected])
+            tokens = router.generate(mel, adapter_idx=idx,
+                                     max_new_tokens=args.max_new_tokens)
             ids = transcribe_tokens(tokens, cfg, prompt_len=router.prompt_len)
             per_lang_preds[lang][0].extend(tokenizer.decode(r) for r in ids)
             per_lang_preds[lang][1].extend(batch["texts"])

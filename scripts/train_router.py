@@ -139,7 +139,8 @@ def main(argv=None):
         languages=tuple(args.languages), class_weights=class_weights)
     clf_params = clf.init_classifier(jax.random.PRNGKey(args.seed), ccfg)
 
-    coll = LIDCollator()
+    coll = LIDCollator(num_mels=cfg.num_mel_bins,
+                       num_frames=cfg.num_audio_frames)
     train_loader = DataLoader(train_lid, args.batch_size, coll, seed=args.seed)
     eval_loader = DataLoader(val_lid, args.batch_size, coll, shuffle=False,
                              drop_last=False)

@@ -228,3 +228,22 @@ def test_router_hard_matches_single_adapter_path(world):
     for li, lang in enumerate(LANGS):
         out = router.generate(mel, language=lang, max_new_tokens=6)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(routed[lang]))
+
+
+def test_language_classifier_class_handle(world, rng, tmp_path):
+    """The parity-named LanguageClassifier class is a real, callable handle."""
+    from sar_tpu.models import LanguageClassifier
+    ccfg = clf.ClassifierConfig(input_dim=64, hidden_dims=(16,), num_classes=2,
+                                dropout=0.0, languages=("a", "b"))
+    model = LanguageClassifier(ccfg, seed=1)
+    x = _feats(rng, 3)
+    out = model(x, labels=jnp.asarray([0, 1, 0]))
+    assert out["logits"].shape == (3, 2) and np.isfinite(float(out["loss"]))
+    labels, probs = model.predict(x)
+    assert labels.shape == (3,)
+    names, _ = model.predict_language(x)
+    assert set(names) <= {"a", "b"}
+    model.save(tmp_path / "clf")
+    again = LanguageClassifier.load(tmp_path / "clf")
+    np.testing.assert_allclose(np.asarray(model(x)["logits"]),
+                               np.asarray(again(x)["logits"]), atol=1e-6)
