@@ -194,7 +194,12 @@ class ASRTrainer:
                 cb.on_step_begin(self, self.global_step)
             micro = [next(batch_iter) for _ in range(accum)]
             mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
-            labels = jnp.asarray(np.stack([b["labels"] for b in micro]))
+            # Bucketing collators (pad_to_multiple) may yield different label
+            # widths per microbatch; pad the accumulation group to its max.
+            width = max(b["labels"].shape[1] for b in micro)
+            labels = jnp.asarray(np.stack([
+                np.pad(b["labels"], [(0, 0), (0, width - b["labels"].shape[1])],
+                       constant_values=-100) for b in micro]))
             adapter_ids = jnp.asarray(np.stack(
                 [b.get("language_ids", np.zeros(len(b["texts"]), np.int32))
                  for b in micro]))

@@ -171,3 +171,19 @@ def test_wandb_tensorboard_noop(tmp_path, monkeypatch):
     assert tb._writer is None
     tb.on_step_end(T, 1, {"loss": 1.0})
     tb.on_train_end(T)
+
+
+def test_training_with_bucketing_collator(world):
+    """pad_to_multiple collators yield variable label widths; the trainer
+    must pad each accumulation group to its max instead of crashing."""
+    cfg, params, tok, _, _ = world
+    ds = SyntheticASRDataset(cfg, size=16, num_words=2, seed=3)
+    coll = create_collator(cfg.sot_token_id, pad_to_multiple=4)
+    loader = DataLoader(ds, batch_size=4, collator=coll, seed=2)
+    lcfg = lora_lib.LoraConfig(r=4, alpha=8, dropout=0.0)
+    bank = lora_lib.init_lora(jax.random.PRNGKey(9), cfg, lcfg)
+    t = ASRTrainer(cfg, params, bank, lcfg,
+                   _args(max_steps=3, eval_steps=0), tokenizer=tok,
+                   language="english")
+    hist = t.train(loader)
+    assert np.isfinite(hist["loss"]).all()
