@@ -129,15 +129,19 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     return tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "lora_scale",
-                                             "suppress_ids"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_new_tokens", "lora_scale", "cross_kv_int8", "self_kv_int8",
+    "suppress_ids", "begin_suppress_ids"))
 def greedy_decode_jit(params, enc_out, cfg, prompt_ids, max_new_tokens=256,
                       lora=None, adapter_idx=None, lora_scale=1.0,
-                      suppress_ids=()):
+                      cross_kv_int8=False, self_kv_int8=False,
+                      suppress_ids=(), begin_suppress_ids=()):
     return greedy_decode(params, enc_out, cfg, prompt_ids,
                          max_new_tokens=max_new_tokens, lora=lora,
                          adapter_idx=adapter_idx, lora_scale=lora_scale,
-                         suppress_ids=suppress_ids)
+                         cross_kv_int8=cross_kv_int8, self_kv_int8=self_kv_int8,
+                         suppress_ids=suppress_ids,
+                         begin_suppress_ids=begin_suppress_ids)
 
 
 def transcribe_tokens(tokens, cfg: WhisperConfig, prompt_len: int) -> list[list[int]]:
