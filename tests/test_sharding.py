@@ -1,6 +1,8 @@
 """Multi-device sharding on the virtual 8-CPU mesh: TP/DP forward parity and
 the full sharded training step (what the driver's dryrun_multichip validates)."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,42 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     """The driver's multi-chip validation path must run end to end."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def _run_driver_like_subprocess(code: str) -> None:
+    """Run `code` in a fresh interpreter with NO conftest help: XLA_FLAGS
+    stripped, whatever platform the environment pins left in place — exactly
+    the environment the driver's MULTICHIP check runs in."""
+    import os
+    import subprocess
+    import sys
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, (
+        f"subprocess failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
+    assert "dryrun routed decode OK" in proc.stdout
+
+
+def test_dryrun_multichip_self_initializes():
+    """dryrun_multichip(8) must pass when called before jax is imported, with
+    no XLA_FLAGS set (round-1 MULTICHIP failure mode)."""
+    _run_driver_like_subprocess(
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
+
+
+def test_dryrun_multichip_after_backend_init():
+    """dryrun_multichip(8) must pass even when the caller already initialized
+    a too-small jax backend (falls back to a fresh subprocess)."""
+    _run_driver_like_subprocess(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) < 8\n"
+        "import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
 
 
 def test_entry_traces(world):
