@@ -2,20 +2,33 @@
 
 The reference exposes `num_beams` through its evaluator and CLI
 (/root/reference/scripts/evaluate_model.py:71-72 -> HF generate's beam
-search). This is a TPU-native re-design: fixed beam width K and fixed max
-length (no dynamic hypothesis sets), one `lax.while_loop`, the KV cache kept
-at [L, B*K, ...] and gathered along the beam axis on every reorder — so the
-whole search stays on device with static shapes.
+search). This is a TPU-native implementation of the same algorithm the
+substrate runs (transformers GenerationMixin._beam_search): fixed beam width
+K, a 2K candidate expansion per step, separate running/finished beam sets
+merged by top-k, and the early-stopping heuristic of early_stopping=False —
+all inside one `lax.while_loop` with static shapes, the KV cache kept at
+[L, B*K, ...] and gathered along the beam axis on every reorder, so the whole
+search stays on device.
 
-Scoring: sum of token log-probs; finished beams absorb further steps with
-log-prob 0 (EOS-locked). Final selection divides by generated length**
-length_penalty (HF convention, default 1.0).
+Semantics mirrored from the substrate (for token-level parity, verified in
+tests/test_generate_parity.py):
+- running scores init: beam 0 = 0, others = -1e9 (dedupes identical beams).
+- per step: top-2K candidates by accumulated log-prob; candidates that hit a
+  stopping criterion (EOS, or max length reached) are excluded from the next
+  running set; only candidates ranked < K may finalize.
+- finalized score = sum of token log-probs (incl. EOS) divided by
+  (generated_len ** length_penalty), generated length counting the EOS.
+- early_stopping=False heuristic: a batch stops improving once
+  best_running / (cur_generated_len ** length_penalty) can no longer beat its
+  worst finished slot (only meaningful once all K slots hold finished
+  hypotheses); finalization is then frozen for that batch.
+- suppress masks are applied to the *log-probs* (no renormalization), exactly
+  like the substrate's logits processors in beam mode.
 
-Performance note: like every cache-reordering beam search (HF
-reorder_cache, t5x), each step gathers the whole self cache along the beam
-axis — ~2-3x the per-token cost of greedy. Cross K/V are NOT reordered
-(identical across a sample's beams). Use int8 KV flags to halve the gather
-traffic.
+Performance note: like every cache-reordering beam search (HF reorder_cache,
+t5x), each step gathers the whole self cache along the beam axis — ~2-3x the
+per-token cost of greedy. Cross K/V are NOT reordered (identical across a
+sample's beams). Use int8 KV flags to halve the gather traffic.
 """
 
 from __future__ import annotations
@@ -36,10 +49,14 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 adapter_idx: jnp.ndarray | None = None,
                 lora_scale: float = 1.0,
                 cross_kv_int8: bool = False,
-                self_kv_int8: bool = False) -> jnp.ndarray:
-    """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total]."""
+                self_kv_int8: bool = False,
+                suppress_ids: tuple[int, ...] = (),
+                begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+    """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total];
+    positions after the first EOS are EOS-filled."""
     B, S, D = enc_out.shape
     K = num_beams
+    K2 = 2 * K
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
     P = prompt_ids.shape[1]
@@ -55,71 +72,128 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8)
 
-    tokens = jnp.full((B, K, total), eos, jnp.int32)
-    tokens = tokens.at[:, :, :P].set(prompt_ids[:, None, :])
-    # Only beam 0 is live initially (all beams identical -> dedupe by score).
-    scores = jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None], (B, 1))
-    finished = jnp.zeros((B, K), bool)
+    suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
+    begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
+                      if begin_suppress_ids else None)
+
+    run_seqs = jnp.full((B, K, total), eos, jnp.int32)
+    run_seqs = run_seqs.at[:, :, :P].set(prompt_ids[:, None, :])
+    run_scores = jnp.tile(
+        jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF)[None], (B, 1))
+    fin_seqs = run_seqs
+    fin_scores = jnp.full((B, K), NEG_INF)
+    fin_flags = jnp.zeros((B, K), bool)
+    # Per-batch: can the running beams still improve the finished set?
+    unsatisfied = jnp.ones((B,), bool)
+
+    rank2k = jnp.arange(K2)
+    # Only candidates ranked within the top K may finalize (the extra K exist
+    # so the running set never starves when the top K all pick EOS).
+    top_k_mask = rank2k < K
 
     def cond(state):
-        pos, _, _, _, finished = state
-        return (pos < total - 1) & ~jnp.all(finished)
+        pos, *_, unsat, _ = state
+        return (pos < total - 1) & jnp.any(unsat)
 
     def body(state):
-        pos, tokens, scores, cache, finished = state
-        flat_tok = tokens.reshape(B * K, total)[:, pos]
+        (pos, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags,
+         unsat, cache) = state
+        flat_tok = run_seqs.reshape(B * K, total)[:, pos]
         logits, cache = whisper.decode_step(
             params, flat_tok, pos, cache, cfg, lora=lora,
             adapter_idx=idx_k, lora_scale=lora_scale)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1).reshape(B, K, V)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        # Substrate beam mode masks the log-probs (no renormalization).
+        if suppress is not None:
+            logp = logp.at[:, suppress].set(NEG_INF)
+        if begin_suppress is not None:
+            masked = logp.at[:, begin_suppress].set(NEG_INF)
+            logp = jnp.where(pos == P - 1, masked, logp)
+        logp = logp.reshape(B, K, V)
 
         in_prompt = pos + 1 < P
 
-        # Finished beams: only EOS continuation, at zero cost.
-        eos_only = jnp.full((V,), NEG_INF).at[eos].set(0.0)
-        logp = jnp.where(finished[..., None], eos_only[None, None], logp)
+        # Top-2K continuations by accumulated log-prob.
+        acc = (run_scores[..., None] + logp).reshape(B, K * V)
+        scores2k, idx2k = jax.lax.top_k(acc, K2)               # [B, 2K]
+        beam_src = idx2k // V
+        tok2k = (idx2k % V).astype(jnp.int32)
 
-        cand = scores[..., None] + logp                        # [B, K, V]
-        flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, K)           # [B, K]
-        beam_src = top_idx // V
-        new_tok = (top_idx % V).astype(jnp.int32)
+        gather = (jnp.arange(B)[:, None] * K + beam_src).reshape(-1)
+        cand_seqs = run_seqs.reshape(B * K, total)[gather].reshape(B, K2, total)
+        cand_seqs = jax.lax.dynamic_update_slice(
+            cand_seqs, tok2k[..., None], (0, 0, pos + 1))
 
-        # During the prompt: keep beams in place and force the prompt token.
-        keep = jnp.broadcast_to(jnp.arange(K)[None], (B, K))
-        beam_src = jnp.where(in_prompt, keep, beam_src)
+        # Stopping criteria per candidate: EOS, or the buffer is now full.
+        hits = (tok2k == eos) | (pos + 2 >= total)
+
+        # Next running set: best K candidates that did NOT stop.
+        run_cand = scores2k + hits * NEG_INF
+        new_run_scores, sel = jax.lax.top_k(run_cand, K)       # sel in [0,2K)
+        new_run_seqs = jnp.take_along_axis(cand_seqs, sel[..., None], axis=1)
+        alive_src = jnp.take_along_axis(beam_src, sel, axis=1)  # cache reorder
+
+        # Finished set: merge candidates that stopped (rank < K only), scored
+        # with the length penalty over generated tokens including this one.
+        gen_len = (pos + 2 - P).astype(jnp.float32)
+        norm = scores2k / jnp.power(jnp.maximum(gen_len, 1.0), length_penalty)
+        can_finalize = (hits & top_k_mask[None] & ~in_prompt
+                        & unsat[:, None])
+        fin_cand = jnp.where(can_finalize, norm, NEG_INF)
+        merged_scores = jnp.concatenate([fin_scores, fin_cand], axis=1)
+        merged_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        merged_flags = jnp.concatenate([fin_flags, can_finalize], axis=1)
+        new_fin_scores, fsel = jax.lax.top_k(merged_scores, K)
+        new_fin_seqs = jnp.take_along_axis(merged_seqs, fsel[..., None], axis=1)
+        new_fin_flags = jnp.take_along_axis(merged_flags, fsel, axis=1)
+
+        # Prompt phase: force the next prompt token, keep beams in place.
         forced = jax.lax.dynamic_slice_in_dim(
-            prompt_ids, jnp.minimum(pos + 1, P - 1), 1, axis=1)
-        new_tok = jnp.where(in_prompt, forced, new_tok)
-        new_scores = jnp.where(in_prompt, scores, top_scores)
+            prompt_ids, jnp.minimum(pos + 1, P - 1), 1, axis=1)   # [B, 1]
+        prompt_seqs = jax.lax.dynamic_update_slice(
+            run_seqs, jnp.broadcast_to(forced[:, :, None], (B, K, 1)),
+            (0, 0, pos + 1))
+        keep = jnp.broadcast_to(jnp.arange(K)[None], (B, K))
+        new_run_seqs = jnp.where(in_prompt, prompt_seqs, new_run_seqs)
+        new_run_scores = jnp.where(in_prompt, run_scores, new_run_scores)
+        alive_src = jnp.where(in_prompt, keep, alive_src)
+        new_fin_seqs = jnp.where(in_prompt, fin_seqs, new_fin_seqs)
+        new_fin_scores = jnp.where(in_prompt, fin_scores, new_fin_scores)
+        new_fin_flags = jnp.where(in_prompt, fin_flags, new_fin_flags)
 
-        # Reorder beam state.
-        gather = (jnp.arange(B)[:, None] * K + beam_src).reshape(-1)  # [B*K]
-        tokens = tokens.reshape(B * K, total)[gather].reshape(B, K, total)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, new_tok[..., None], (0, 0, pos + 1))
-        finished = finished.reshape(B * K)[gather].reshape(B, K)
-        # Reorder ONLY the self cache (+ its scales): beam_src stays within a
+        # Reorder ONLY the self cache (+ its scales): alive_src stays within a
         # sample, and cross K/V are identical across a sample's beams — their
         # reorder would be a multi-GB no-op.
+        cgather = (jnp.arange(B)[:, None] * K + alive_src).reshape(-1)
         cache = cache._replace(
-            self_k=cache.self_k[:, gather],
-            self_v=cache.self_v[:, gather],
+            self_k=cache.self_k[:, cgather],
+            self_v=cache.self_v[:, cgather],
             self_k_scale=(None if cache.self_k_scale is None
-                          else cache.self_k_scale[:, gather]),
+                          else cache.self_k_scale[:, cgather]),
             self_v_scale=(None if cache.self_v_scale is None
-                          else cache.self_v_scale[:, gather]))
-        finished = finished | (~in_prompt & (new_tok == eos))
-        return pos + 1, tokens, new_scores, cache, finished
+                          else cache.self_v_scale[:, cgather]))
 
-    state = (jnp.int32(0), tokens, scores, cache, finished)
-    _, tokens, scores, _, finished = jax.lax.while_loop(cond, body, state)
+        # early_stopping=False heuristic: improvement still possible while the
+        # best running beam, if it ended at the current generated length,
+        # could beat some finished slot (-1e9 for unfinished slots, so any
+        # open slot keeps the batch unsatisfied).
+        cur_gen = (pos + 2 - P).astype(jnp.float32)
+        best_possible = (jnp.max(new_run_scores, axis=1)
+                         / jnp.power(jnp.maximum(cur_gen, 1.0), length_penalty))
+        worst = jnp.where(new_fin_flags,
+                          jnp.min(new_fin_scores, axis=1, keepdims=True),
+                          NEG_INF)                              # [B, K]
+        still = jnp.any(best_possible[:, None] > worst, axis=1)
+        new_unsat = jnp.where(in_prompt, unsat, unsat & still)
 
-    # Length-normalized selection (length = generated tokens up to + incl EOS).
-    gen = tokens[:, :, P:]
-    has_eos = jnp.any(gen == eos, axis=-1)
-    first_eos = jnp.argmax(gen == eos, axis=-1)
-    lengths = jnp.where(has_eos, first_eos + 1, gen.shape[-1]).astype(jnp.float32)
-    norm = scores / jnp.power(jnp.maximum(lengths, 1.0), length_penalty)
-    best = jnp.argmax(norm, axis=-1)                            # [B]
-    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+        return (pos + 1, new_run_seqs, new_run_scores, new_fin_seqs,
+                new_fin_scores, new_fin_flags, new_unsat, cache)
+
+    state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
+             fin_flags, unsatisfied, cache)
+    (_, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags, _, _) = \
+        jax.lax.while_loop(cond, body, state)
+
+    # Finished slots are kept sorted descending by the top_k merge; slot 0 is
+    # the best hypothesis (max-length finalization guarantees it exists).
+    return fin_seqs[:, 0]

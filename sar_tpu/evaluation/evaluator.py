@@ -77,7 +77,8 @@ class ASREvaluator:
         def beam(params, enc, prompt):
             from sar_tpu.decode.beam import beam_decode
             return beam_decode(params, enc, cfg, prompt, num_beams=beams,
-                               max_new_tokens=mnt, lora=lora, lora_scale=scale)
+                               max_new_tokens=mnt, lora=lora, lora_scale=scale,
+                               cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
 
         self._prep = jax.jit(prep)
         self._prep_enc = jax.jit(prep_enc_only)
