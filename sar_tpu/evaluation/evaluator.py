@@ -36,7 +36,7 @@ class ASREvaluator:
     def __init__(self, cfg: WhisperConfig, params: dict, tokenizer,
                  language: str = "hindi", max_new_tokens: int = 256,
                  num_beams: int = 1, lora: dict | None = None,
-                 lora_scale: float = 1.0, kv_int8: bool = True):
+                 lora_scale: float = 1.0, kv_int8: bool = True, mesh=None):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -46,6 +46,15 @@ class ASREvaluator:
         self.lora = lora
         self.lora_scale = lora_scale
         self.kv_int8 = kv_int8
+        # Optional DPxTP mesh: weights tensor-parallel over "model", batches
+        # over "data" — the ICI-sharded whisper-large batch-inference path
+        # (BASELINE config #5). Partial batches are padded to the data axis.
+        self.mesh = mesh
+        if mesh is not None:
+            from sar_tpu.parallel.sharding import shard_lora, shard_params
+            self.params = shard_params(self.params, mesh)
+            if self.lora is not None:
+                self.lora = shard_lora(self.lora, mesh)
         self._prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
         self._build_steps()
 
@@ -61,10 +70,10 @@ class ASREvaluator:
 
         def prep(params, mel):
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
-            return enc, whisper.init_cache(params, enc, cfg, max_len=total,
-                                           lora=lora, lora_scale=scale,
-                                           cross_kv_int8=kv_int8,
-                                           self_kv_int8=kv_int8)
+            return whisper.init_cache(params, enc, cfg, max_len=total,
+                                      lora=lora, lora_scale=scale,
+                                      cross_kv_int8=kv_int8,
+                                      self_kv_int8=kv_int8)
 
         def prep_enc_only(params, mel):
             return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
@@ -82,18 +91,30 @@ class ASREvaluator:
 
         self._prep = jax.jit(prep)
         self._prep_enc = jax.jit(prep_enc_only)
-        self._decode = jax.jit(dec)
+        # The cache is donated into the decode loop so the prep output and
+        # the loop's working cache never coexist in HBM (whisper-large B=32
+        # OOMed on exactly that double allocation).
+        self._decode = jax.jit(dec, donate_argnums=(1,))
         self._beam = jax.jit(beam)
 
     def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
+        B = mel.shape[0]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_data = self.mesh.shape["data"]
+            pad = (-B) % n_data
+            if pad:
+                mel = jnp.pad(mel, [(0, pad), (0, 0), (0, 0)])
+            mel = jax.device_put(
+                mel, NamedSharding(self.mesh, P("data", None, None)))
         if self.num_beams > 1:
             # Beam builds its own beam-expanded cache; skip the greedy cache.
             enc = self._prep_enc(self.params, mel)
             tokens = self._beam(self.params, enc, self._prompt)
         else:
-            _, cache = self._prep(self.params, mel)
+            cache = self._prep(self.params, mel)
             tokens = self._decode(self.params, cache, self._prompt)
-        ids = transcribe_tokens(tokens, self.cfg,
+        ids = transcribe_tokens(tokens[:B], self.cfg,
                                 prompt_len=int(self._prompt.shape[0]))
         return [self.tokenizer.decode(row) for row in ids]
 

@@ -35,6 +35,22 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def mesh_from_flags(dp: int, tp: int) -> Mesh | None:
+    """CLI helper (--dp/--tp flags): a dp x tp mesh over the first dp*tp
+    visible devices, or None when dp*tp == 1 (single-device run)."""
+    if dp * tp <= 1:
+        return None
+    devices = jax.devices()
+    if len(devices) < dp * tp:
+        raise SystemExit(
+            f"error: --dp {dp} x --tp {tp} needs {dp * tp} devices but only "
+            f"{len(devices)} are visible ({devices[0].platform}); for a "
+            f"virtual-device dry run set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp} "
+            f"with JAX_PLATFORMS=cpu")
+    return make_mesh(n_data=dp, n_model=tp, devices=devices[:dp * tp])
+
+
 def _layer_specs(prefix: str) -> dict:
     """PartitionSpecs for one stacked layer dict (leading L axis)."""
     col = {"w": P(None, None, "model"), "b": P(None, "model")}

@@ -63,7 +63,7 @@ class ASRTrainer:
                  lora: dict, lora_cfg: lora_lib.LoraConfig,
                  args: TrainingArgs | None = None, tokenizer=None,
                  language: str = "hindi", languages: list | None = None,
-                 callbacks: list | None = None):
+                 callbacks: list | None = None, mesh=None):
         self.cfg = model_cfg
         self.args = args or TrainingArgs()
         self.lora_cfg = lora_cfg
@@ -73,6 +73,13 @@ class ASRTrainer:
         # of `languages` = adapter i = language_ids value i in batches.
         self.languages = list(languages) if languages else [language]
         self.callbacks = callbacks or []
+        # Optional DPxTP device mesh (jax.sharding.Mesh with axes
+        # "data"/"model"): base weights get tensor-parallel shardings, the
+        # LoRA bank is replicated, batches shard over "data", and XLA GSPMD
+        # inserts the ICI collectives. The reference's scale-out is a SLURM
+        # array of independent single-GPU jobs (SURVEY.md §2.14); here one
+        # training run spans the mesh.
+        self.mesh = mesh
 
         compute = (jnp.bfloat16 if self.args.mixed_precision in ("bf16", "fp16")
                    else jnp.float32)
@@ -80,6 +87,10 @@ class ASRTrainer:
         self.base_params = (whisper.cast_params(base_params, compute)
                             if compute != jnp.float32 else base_params)
         self.lora = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), lora)
+        if mesh is not None:
+            from sar_tpu.parallel.sharding import shard_lora, shard_params
+            self.base_params = shard_params(self.base_params, mesh)
+            self.lora = shard_lora(self.lora, mesh)
 
         self.tx, self.schedule = make_optimizer(
             learning_rate=self.args.learning_rate,
@@ -167,6 +178,23 @@ class ASRTrainer:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def _put(self, x, batch_axis: int):
+        """Host batch array -> device, sharded over "data" when on a mesh."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n_data = self.mesh.shape["data"]
+        if x.shape[batch_axis] % n_data:
+            raise ValueError(
+                f"batch axis {batch_axis} of shape {x.shape} not divisible "
+                f"by the mesh's data axis ({n_data}); pick batch_size as a "
+                f"multiple of --dp")
+        spec = [None] * x.ndim
+        spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    # ------------------------------------------------------------------
     def train(self, train_loader, eval_loader=None) -> dict:
         args = self.args
         for cb in self.callbacks:
@@ -193,16 +221,17 @@ class ASRTrainer:
             for cb in self.callbacks:
                 cb.on_step_begin(self, self.global_step)
             micro = [next(batch_iter) for _ in range(accum)]
-            mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
+            # Batch axis is axis 1 (axis 0 is the accumulation scan).
+            mels = self._put(np.stack([b["input_features"] for b in micro]), 1)
             # Bucketing collators (pad_to_multiple) may yield different label
             # widths per microbatch; pad the accumulation group to its max.
             width = max(b["labels"].shape[1] for b in micro)
-            labels = jnp.asarray(np.stack([
+            labels = self._put(np.stack([
                 np.pad(b["labels"], [(0, 0), (0, width - b["labels"].shape[1])],
-                       constant_values=-100) for b in micro]))
-            adapter_ids = jnp.asarray(np.stack(
+                       constant_values=-100) for b in micro]), 1)
+            adapter_ids = self._put(np.stack(
                 [b.get("language_ids", np.zeros(len(b["texts"]), np.int32))
-                 for b in micro]))
+                 for b in micro]), 1)
             self._rng, step_rng = jax.random.split(self._rng)
             self.lora, self.opt_state, loss, gnorm = self._train_step(
                 self.lora, self.opt_state, self.base_params, mels, labels,
@@ -242,14 +271,27 @@ class ASRTrainer:
         losses, preds, refs = [], [], []
         for batch in eval_loader.one_epoch():
             B = len(batch["texts"])
-            ids = jnp.asarray(batch.get(
-                "language_ids", np.zeros(B, np.int32)), jnp.int32)
+            mels = np.asarray(batch["input_features"])
+            labels = np.asarray(batch["labels"])
+            ids_np = np.asarray(batch.get(
+                "language_ids", np.zeros(B, np.int32)), np.int32)
+            if self.mesh is not None:
+                # Pad partial batches to a multiple of the data axis; padded
+                # rows carry all -100 labels (zero loss-mask weight).
+                n_data = self.mesh.shape["data"]
+                pad = (-B) % n_data
+                if pad:
+                    mels = np.pad(mels, [(0, pad)] + [(0, 0)] * (mels.ndim - 1))
+                    labels = np.pad(labels, [(0, pad), (0, 0)],
+                                    constant_values=-100)
+                    ids_np = np.pad(ids_np, (0, pad))
+            ids = self._put(ids_np, 0)
             prompt = (prompt_table[ids] if self.multi_adapter
                       else prompt_table[0])
             loss, tokens = self._eval_step(
-                self.lora, self.base_params,
-                jnp.asarray(batch["input_features"]),
-                jnp.asarray(batch["labels"]), prompt, ids)
+                self.lora, self.base_params, self._put(mels, 0),
+                self._put(labels, 0), prompt, ids)
+            tokens = tokens[:B]
             losses.append(float(loss))
             plen = int(prompt_table.shape[1])
             rows = transcribe_tokens(tokens, self.cfg, prompt_len=plen)

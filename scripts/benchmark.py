@@ -28,11 +28,20 @@ def parse_args(argv=None):
     p.add_argument("--kv_cache", type=str, nargs="+", default=["int8"],
                    choices=["int8", "bf16"])
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="Pin the jax platform (cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel mesh axis (batch shards over it)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis (ICI-sharded model)")
     p.add_argument("--output", type=str, default=None)
     return p.parse_args(argv)
 
 
-def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters):
+def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,16 +55,22 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters):
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.standard_normal((batch, mel_ops.N_SAMPLES)) * 0.1,
                         jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        audio = jax.device_put(audio, NamedSharding(mesh, P("data", None)))
 
     @jax.jit
     def prep(params, audio):
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
+        feats = feats[:, :, :cfg.num_audio_frames]
         enc = whisper.encode(params, feats, cfg)
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(1,))
     def dec(params, cache):
         return greedy_decode_from_cache(params, cache, cfg, prompt)
 
@@ -74,6 +89,8 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from sar_tpu.models import whisper
     from sar_tpu.models.base import load_base_model
@@ -88,13 +105,18 @@ def main(argv=None):
         cfg = get_config(args.model)
         params = whisper.cast_params(
             whisper.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    from sar_tpu.parallel.sharding import mesh_from_flags, shard_params
+    mesh = mesh_from_flags(args.dp, args.tp)
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        logger.info("benchmarking on mesh %s", mesh)
     rows = []
     print(f"{'batch':>6} {'kv':>5} {'s/batch':>9} {'RTFx':>8} {'ms/tok':>8}")
     for kv in args.kv_cache:
         for b in args.batch_sizes:
             try:
                 r = run_config(cfg, params, b, args.max_new_tokens,
-                               kv == "int8", args.iters)
+                               kv == "int8", args.iters, mesh=mesh)
             except Exception as e:
                 logger.warning("config batch=%d kv=%s failed: %s", b, kv, e)
                 continue

@@ -42,6 +42,16 @@ def parse_args(argv=None):
                    choices=["int8", "bf16"],
                    help="Cross-attention KV cache precision (int8 halves "
                         "decode memory traffic; bf16 for exact parity)")
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="Pin the jax platform (cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel mesh axis for batch inference")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis (ICI-sharded encoder/"
+                        "decoder for whisper-large batch inference)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_predictions", action="store_true")
     p.add_argument("--per_sample", action="store_true",
@@ -54,6 +64,9 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    import jax
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from sar_tpu.data.collate import create_collator
     from sar_tpu.data.datasets import create_dataset
@@ -96,11 +109,15 @@ def main(argv=None):
     logger.info("evaluating %d samples (%s/%s)", len(ds), args.language,
                 args.split)
 
+    from sar_tpu.parallel.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.dp, args.tp)
+    if mesh is not None:
+        logger.info("evaluating on mesh %s", mesh)
     evaluator = ASREvaluator(cfg, params, tokenizer, language=args.language,
                              max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams, lora=lora,
                              lora_scale=lora_scale,
-                             kv_int8=args.kv_cache == "int8")
+                             kv_int8=args.kv_cache == "int8", mesh=mesh)
     need_preds = args.save_predictions or args.per_sample
     results = evaluator.evaluate(loader, return_predictions=need_preds)
 

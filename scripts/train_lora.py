@@ -58,6 +58,20 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--max_new_tokens", type=int, default=256)
+    # Parallelism (TPU mesh; the reference scales out via a SLURM array of
+    # independent jobs — SURVEY.md §2.14)
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel mesh axis (batch shards over it)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis (attention heads / FFN "
+                        "shard over it)")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="Dataloader prefetch workers (reference ran 4)")
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="Pin the jax platform (cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh)")
     # Output
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--save_steps", type=int, default=1000)
@@ -86,6 +100,8 @@ def main(argv=None):
     set_seed(args.seed)
 
     import jax
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from sar_tpu.data.collate import create_collator
     from sar_tpu.data.datasets import create_dataset
@@ -128,9 +144,10 @@ def main(argv=None):
     coll = create_collator(cfg.sot_token_id, pad_to_length=args.max_label_length,
                            num_mels=cfg.num_mel_bins,
                                         num_frames=cfg.num_audio_frames)
-    train_loader = DataLoader(train_ds, args.batch_size, coll, seed=args.seed)
+    train_loader = DataLoader(train_ds, args.batch_size, coll, seed=args.seed,
+                              num_workers=args.num_workers)
     eval_loader = DataLoader(val_ds, args.batch_size, coll, shuffle=False,
-                             drop_last=False)
+                             drop_last=False, num_workers=args.num_workers)
 
     callbacks = [
         CheckpointCallback(out, save_steps=args.save_steps,
@@ -149,8 +166,13 @@ def main(argv=None):
         mixed_precision=args.mixed_precision,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         max_new_tokens=args.max_new_tokens, seed=args.seed)
+    from sar_tpu.parallel.sharding import mesh_from_flags
+    mesh = mesh_from_flags(args.dp, args.tp)
+    if mesh is not None:
+        logger.info("training on mesh %s", mesh)
     trainer = ASRTrainer(cfg, params, bank, lcfg, targs, tokenizer=tokenizer,
-                         language=args.language, callbacks=callbacks)
+                         language=args.language, callbacks=callbacks,
+                         mesh=mesh)
     if args.resume_from:
         trainer.load_checkpoint(args.resume_from)
         logger.info("resumed from %s at step %d", args.resume_from,

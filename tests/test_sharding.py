@@ -94,6 +94,61 @@ def test_sharded_greedy_decode_matches(world, rng):
     np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
 
 
+def test_trainer_on_mesh_matches_single_device(world):
+    """ASRTrainer(mesh=...) — the user-facing DPxTP path (train_lora.py
+    --dp/--tp) — must reproduce the single-device loss trajectory."""
+    from sar_tpu.data.collate import create_collator
+    from sar_tpu.data.loader import DataLoader
+    from sar_tpu.data.synthetic import SyntheticASRDataset
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.models import lora as lora_lib
+    from sar_tpu.training import ASRTrainer, TrainingArgs
+
+    cfg, params = world
+    tok = CharTokenizer(cfg)
+    lcfg = lora_lib.LoraConfig(r=4, alpha=8, dropout=0.0)
+    args = TrainingArgs(learning_rate=3e-3, warmup_steps=1, max_steps=3,
+                        eval_steps=0, gradient_accumulation_steps=2,
+                        mixed_precision="no", gradient_checkpointing=False,
+                        seed=0)
+    coll = create_collator(cfg.sot_token_id, pad_to_length=16)
+
+    def run(mesh):
+        ds = SyntheticASRDataset(cfg, size=16, num_words=2, seed=5)
+        loader = DataLoader(ds, batch_size=4, collator=coll, seed=7)
+        bank = lora_lib.init_lora(jax.random.PRNGKey(11), cfg, lcfg)
+        t = ASRTrainer(cfg, params, bank, lcfg, args, tokenizer=tok,
+                       language="english", mesh=mesh)
+        return t.train(loader)["loss"], t.lora
+
+    loss_single, lora_single = run(None)
+    loss_mesh, lora_mesh = run(make_mesh(n_model=2))
+    np.testing.assert_allclose(loss_single, loss_mesh, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(lora_single), jax.tree.leaves(lora_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_evaluator_on_mesh_matches_single_device(world):
+    """ASREvaluator(mesh=...) — evaluate_model.py --dp/--tp — must produce
+    identical transcriptions, including on a partial (padded) batch."""
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.evaluation.evaluator import ASREvaluator
+
+    cfg, params = world
+    tok = CharTokenizer(cfg)
+    rng = np.random.default_rng(3)
+    # 6 rows: not a multiple of the 4-way data axis (exercises padding).
+    mel = jnp.asarray(rng.standard_normal((6, cfg.num_mel_bins, 64)),
+                      jnp.float32)
+
+    def preds(mesh):
+        ev = ASREvaluator(cfg, params, tok, language="english",
+                          max_new_tokens=8, kv_int8=False, mesh=mesh)
+        return ev._transcribe_batch(mel)
+
+    assert preds(None) == preds(make_mesh(n_model=2))
+
+
 def test_dryrun_multichip_entrypoint(eight_devices):
     """The driver's multi-chip validation path must run end to end."""
     import __graft_entry__
