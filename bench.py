@@ -26,10 +26,30 @@ import time
 import numpy as np
 
 REFERENCE_RTFX_A100_EST = 50.0
+V5E_HBM_GBPS = 819.0     # v5e ("TPU v5 lite") HBM peak bandwidth
 MODEL = os.environ.get("BENCH_MODEL", "whisper-small")
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 MAX_NEW_TOKENS = 256
 ITERS = 3
+
+
+def decode_bytes_per_step(params, cache, total, kv_int8):
+    """Estimated HBM bytes READ per decode step (the loop is memory-bound):
+    full cross K/V (+ scales), the valid self-cache prefix (averaged over the
+    loop: total/2), and every decoder weight incl. the logits embedding."""
+    import jax
+    from sar_tpu.models.whisper import param_count
+    L, B, H, S, hd = cache.cross_k.shape
+    kv_bytes = 1 if kv_int8 else 2
+    cross = 2 * L * B * H * S * hd * kv_bytes
+    if kv_int8:
+        cross += 2 * L * B * H * S * 4                    # fp32 row scales
+    self_sz = 2 * L * B * H * (total / 2) * hd * kv_bytes
+    if kv_int8:
+        self_sz += 2 * L * B * H * (total / 2) * 4
+    dec_params = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(params["decoder"]))
+    return cross + self_sz + dec_params
 
 
 def main():
@@ -60,9 +80,14 @@ def main():
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=True, self_kv_int8=True)
 
-    @jax.jit
+    # The cache is donated to the decode loop: the prep output and the loop's
+    # working cache never coexist in HBM (whisper-large B=32 used to OOM on
+    # exactly that double allocation).
+    from functools import partial
+    from sar_tpu.decode.greedy import greedy_decode_from_cache
+
+    @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache):
-        from sar_tpu.decode.greedy import greedy_decode_from_cache
         return greedy_decode_from_cache(params, cache, cfg, prompt)
 
     def transcribe(params, audio):
@@ -74,7 +99,17 @@ def main():
 
     # Warmup / compile. A device->host transfer (not just block_until_ready)
     # guarantees completion through remote-execution tunnels.
-    np.asarray(transcribe(params, audio))
+    cache0 = prep(params, audio)
+    bytes_per_step = decode_bytes_per_step(params, cache0, total, kv_int8=True)
+    np.asarray(decode(params, cache0))
+
+    # Prep alone (amortized once per batch; decode dominates).
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        c = prep(params, audio)
+    np.asarray(c.cross_k[0, 0, 0, 0])
+    prep_s = (time.perf_counter() - t0) / ITERS
+    del c
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
@@ -84,12 +119,22 @@ def main():
 
     audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
     rtfx = audio_seconds / elapsed
+    # Roofline context: the decode loop is KV/weight-bandwidth-bound; the
+    # achieved read bandwidth against the v5e HBM peak lets the single-chip
+    # number stand on its own (vs_baseline's A100 figure is an estimate).
+    decode_s = max(elapsed / ITERS - prep_s, 1e-9)
+    steps = total - 1   # random weights never emit EOS: full-length decode
+    hbm_gbps = bytes_per_step * steps / decode_s / 1e9
     print(json.dumps({
         "metric": f"{MODEL} greedy transcription RTFx (bf16 + int8 KV cache, "
                   f"batch {BATCH}, 256 new tokens, mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtfx / REFERENCE_RTFX_A100_EST, 3),
+        "hbm_gbps": round(hbm_gbps, 1),
+        "roofline_frac": round(hbm_gbps / V5E_HBM_GBPS, 3),
+        "prep_ms": round(prep_s * 1000, 1),
+        "decode_ms_per_token": round(decode_s / steps * 1000, 3),
     }))
 
 

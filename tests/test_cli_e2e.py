@@ -115,6 +115,10 @@ def test_router_pipeline(pipeline):
         "--output_dir", str(root / "route_out"),
     ])
     assert results["lid_accuracy"] > 0.8
+    # The CLI now feeds MIXED-language batches (with batch 4 over two
+    # interleaved languages every batch is 2+2) and reports the Phase-2
+    # routing-overhead metric.
+    assert results["routing_overhead_ms"] is not None
     for lang in LANGS:
         entry = results["per_language"][lang]
         assert entry["num_samples"] == 8
