@@ -235,6 +235,48 @@ class LIDTrainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path: str | Path) -> None:
-        clf.save_classifier(Path(path), self.params, self.clf_cfg,
+        """Classifier params + config AND training state (optimizer,
+        global_step, best_metric) — parity with the reference's
+        training_state.pt (/root/reference/scripts/train_router.py:533-550)."""
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        path = Path(path).resolve()
+        clf.save_classifier(path, self.params, self.clf_cfg,
                             metadata={"global_step": self.global_step,
                                       "model": self.cfg.name})
+        state = {
+            "opt_state": self.opt_state,
+            "global_step": jnp.int32(self.global_step),
+            "best_metric": jnp.float32(
+                self.best_metric if self.best_metric is not None else jnp.inf),
+        }
+        ck = ocp.StandardCheckpointer()
+        target = path / "train_state"
+        if target.exists():
+            import shutil
+            shutil.rmtree(target)
+        ck.save(target, state)
+        ck.wait_until_finished()
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        """Restore classifier weights AND optimizer/step for --resume_from."""
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+        path = Path(path).resolve()
+        if (path / "classifier").exists():      # train_router.py output root
+            path = path / "classifier"
+        self.params, self.clf_cfg, _ = clf.load_classifier(path)
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32), self.params)
+        if (path / "train_state").exists():
+            ck = ocp.StandardCheckpointer()
+            restored = ck.restore(path / "train_state", target={
+                "opt_state": self.tx.init(self.params),
+                "global_step": jnp.int32(0),
+                "best_metric": jnp.float32(0),
+            })
+            self.opt_state = restored["opt_state"]
+            self.global_step = int(restored["global_step"])
+            best = float(restored["best_metric"])
+            self.best_metric = None if best == float("inf") else best
+        self._build_steps()

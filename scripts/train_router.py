@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--no_wandb", action="store_true")
     p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="Checkpoint dir (train_router.py output or its "
+                        "classifier/ subdir) to resume from")
     return p.parse_args(argv)
 
 
@@ -160,6 +163,10 @@ def main(argv=None):
         encoder_layer=args.encoder_layer, seed=args.seed)
     trainer = LIDTrainer(cfg, params, clf_params, ccfg, targs,
                          callbacks=callbacks)
+    if args.resume_from:
+        trainer.load_checkpoint(args.resume_from)
+        logger.info("resumed from %s at step %d", args.resume_from,
+                    trainer.global_step)
     history = trainer.train(train_loader, eval_loader)
 
     trainer.save_checkpoint(out / "classifier")

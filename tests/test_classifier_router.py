@@ -145,6 +145,35 @@ def test_lid_training_learns(world):
     assert len(hist["eval"][-1]["confusion_matrix"]) == 2
 
 
+def test_lid_checkpoint_resume(world, tmp_path):
+    """save_checkpoint stores optimizer state + step; load_checkpoint restores
+    them (parity with the reference's training_state.pt,
+    /root/reference/scripts/train_router.py:533-550)."""
+    cfg, params = world
+    datasets = {l: SyntheticASRDataset(cfg, size=16, language=l, language_id=i,
+                                       seed=i)
+                for i, l in enumerate(LANGS)}
+    ds = LIDDataset(datasets, LANGS)
+    loader = DataLoader(ds, batch_size=8, collator=LIDCollator(), seed=0)
+    ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, hidden_dims=(16,),
+                                num_classes=2, dropout=0.0, languages=LANGS)
+    args = LIDTrainingArgs(learning_rate=5e-3, warmup_steps=1, max_steps=4,
+                           eval_steps=0, mixed_precision="no")
+    t1 = LIDTrainer(cfg, params, clf.init_classifier(jax.random.PRNGKey(5),
+                                                     ccfg), ccfg, args)
+    t1.train(loader)
+    t1.save_checkpoint(tmp_path / "ck")
+
+    t2 = LIDTrainer(cfg, params, clf.init_classifier(jax.random.PRNGKey(6),
+                                                     ccfg), ccfg, args)
+    t2.load_checkpoint(tmp_path / "ck")
+    assert t2.global_step == 4
+    for a, b in zip(jax.tree.leaves(t1.params), jax.tree.leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(t1.opt_state), jax.tree.leaves(t2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_router_strategies_and_generate(world, tmp_path):
     cfg, params = world
     # Two adapters with distinct (random) deltas.
