@@ -69,11 +69,15 @@ def main():
 
     # Two-phase (prep | decode loop) — fusing encode into the decode-loop
     # program slows the loop ~1.5x (see sar_tpu.decode.greedy docstring).
+    # Blockwise (flash) encoder attention on TPU: no [1500, 1500] fp32 score
+    # materialization (whisper-large B=32 OOMed on exactly that).
+    flash = jax.default_backend() == "tpu"
+
     @jax.jit
     def prep(params, audio):
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
-        enc = whisper.encode(params, feats, cfg)
+        enc = whisper.encode(params, feats, cfg, flash=flash)
         # int8 KV (cross + self): halves the dominant decode memory traffic;
         # 99.97% token agreement vs bf16 measured on random weights (worst
         # case for tie-breaking).
@@ -103,17 +107,19 @@ def main():
     bytes_per_step = decode_bytes_per_step(params, cache0, total, kv_int8=True)
     np.asarray(decode(params, cache0))
 
-    # Prep alone (amortized once per batch; decode dominates).
+    # Prep alone (amortized once per batch; decode dominates). Each iteration
+    # is fenced: async dispatch would otherwise allocate several multi-GB
+    # caches at once (whisper-large B=32 cache is 5.8 GB — two in flight
+    # plus params OOMed the 16 GB chip).
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        c = prep(params, audio)
-    np.asarray(c.cross_k[0, 0, 0, 0])
+        c = jax.block_until_ready(prep(params, audio))
+        del c
     prep_s = (time.perf_counter() - t0) / ITERS
-    del c
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = transcribe(params, audio)
+        out = jax.block_until_ready(transcribe(params, audio))
     np.asarray(out)
     elapsed = time.perf_counter() - t0
 

@@ -36,7 +36,8 @@ class ASREvaluator:
     def __init__(self, cfg: WhisperConfig, params: dict, tokenizer,
                  language: str = "hindi", max_new_tokens: int = 256,
                  num_beams: int = 1, lora: dict | None = None,
-                 lora_scale: float = 1.0, kv_int8: bool = True, mesh=None):
+                 lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
+                 flash: str | bool = "auto"):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -46,6 +47,11 @@ class ASREvaluator:
         self.lora = lora
         self.lora_scale = lora_scale
         self.kv_int8 = kv_int8
+        # Blockwise (flash) encoder attention: avoids the [1500, 1500] fp32
+        # score materialization that OOMed whisper-large at batch 32.
+        # "auto" = on for TPU backends (the Pallas kernel has no CPU build).
+        self.flash = (jax.default_backend() == "tpu" if flash == "auto"
+                      else bool(flash))
         # Optional DPxTP mesh: weights tensor-parallel over "model", batches
         # over "data" — the ICI-sharded whisper-large batch-inference path
         # (BASELINE config #5). Partial batches are padded to the data axis.
@@ -67,16 +73,19 @@ class ASREvaluator:
         total = min(int(self._prompt.shape[0]) + mnt, cfg.max_target_positions)
 
         kv_int8 = self.kv_int8
+        flash = self.flash
 
         def prep(params, mel):
-            enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
+            enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
+                                 flash=flash)
             return whisper.init_cache(params, enc, cfg, max_len=total,
                                       lora=lora, lora_scale=scale,
                                       cross_kv_int8=kv_int8,
                                       self_kv_int8=kv_int8)
 
         def prep_enc_only(params, mel):
-            return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale)
+            return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
+                                  flash=flash)
 
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache

@@ -232,15 +232,28 @@ def cast_params(params: Params, dtype) -> Params:
 # Encoder
 # ---------------------------------------------------------------------------
 
-def _enc_layer_apply(x, p, lora, ctx, num_heads):
+def _mha(q, k, v, mask=None, *, causal=False, flash=False):
+    """Attention dispatch: the jnp path materializes [Tq, Tk] probs
+    (mask/causal given explicitly); flash=True streams blockwise through the
+    Pallas kernel (sar_tpu.ops.flash) and never materializes them. The flash
+    output carries a checkpoint name so the selective remat policy can save
+    it — the remat backward then never re-runs any attention forward."""
+    if flash:
+        from jax.ad_checkpoint import checkpoint_name
+        from sar_tpu.ops.flash import flash_mha
+        return checkpoint_name(flash_mha(q, k, v, causal=causal), "flash_out")
+    return attention(q, k, v, mask)
+
+
+def _enc_layer_apply(x, p, lora, ctx, num_heads, flash=False):
     lo = lora or {}
     scaling = (x.shape[-1] // num_heads) ** -0.5
     h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     q = _proj(h, p["q"], lo.get("q"), ctx, 0) * scaling
     k = _proj(h, p["k"], lo.get("k"), ctx, 1)
     v = _proj(h, p["v"], lo.get("v"), ctx, 2)
-    a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
-                  split_heads(v, num_heads))
+    a = _mha(split_heads(q, num_heads), split_heads(k, num_heads),
+             split_heads(v, num_heads), flash=flash)
     x = x + _proj(merge_heads(a), p["o"], lo.get("o"), ctx, 3)
     h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
     h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
@@ -254,19 +267,25 @@ def _layer_ctx(ctx: LoraCtx, layer_idx) -> LoraCtx:
     return ctx._replace(rng=jax.random.fold_in(ctx.rng, layer_idx))
 
 
-def _remat(body, remat):
+def _remat(body, remat, flash=False):
     """remat=True: selective checkpointing — plain matmuls (projections,
     FFN; dot_generals without batch dims) are saved, attention scores/probs
     (batched dots) are recomputed in the backward pass. This keeps training
     memory bounded (the non-remat backward materializes [T, T] attention
     probabilities per layer — 21 GB for whisper-small at batch 16) at a
-    fraction of full-layer recompute. remat="full" recomputes everything."""
+    fraction of full-layer recompute. With flash attention the named
+    "flash_out" tensors ([B, T, d]-sized, cheap) are saved too, so the
+    backward recomputes only elementwise ops — no attention matmuls at all.
+    remat="full" recomputes everything."""
     if remat == "full":
         return jax.checkpoint(body)
     if remat:
-        return jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        if flash:
+            policy = jax.checkpoint_policies.save_from_both_policies(
+                policy,
+                jax.checkpoint_policies.save_only_these_names("flash_out"))
+        return jax.checkpoint(body, policy=policy)
     return body
 
 
@@ -274,7 +293,7 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
            lora: Params | None = None, adapter_idx: jnp.ndarray | None = None,
            lora_scale: float = 1.0, lora_dropout: float = 0.0,
            dropout_rng: jax.Array | None = None,
-           remat: bool = False) -> jnp.ndarray:
+           remat: bool = False, flash: bool = False) -> jnp.ndarray:
     """Encoder forward. mel: [B, num_mel_bins, T_frames] -> [B, T/2, d]."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                                   # [B, T, M]
@@ -298,10 +317,11 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
 
     def body(carry, xs):
         p, lo, li = xs
-        y = _enc_layer_apply(carry, p, lo, _layer_ctx(ctx, li), cfg.encoder_heads)
+        y = _enc_layer_apply(carry, p, lo, _layer_ctx(ctx, li),
+                             cfg.encoder_heads, flash=flash)
         return y, None
 
-    body = _remat(body, remat)
+    body = _remat(body, remat, flash)
     x, _ = jax.lax.scan(body, x, (enc["layers"], enc_lora,
                                   jnp.arange(cfg.encoder_layers)))
     return layer_norm(x, enc["ln"]["scale"], enc["ln"]["bias"])
@@ -311,7 +331,8 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
 # Decoder (teacher-forced)
 # ---------------------------------------------------------------------------
 
-def _dec_layer_apply(x, enc_out, p, lora, ctx, num_heads, causal_mask):
+def _dec_layer_apply(x, enc_out, p, lora, ctx, num_heads, causal_mask,
+                     flash=False):
     scaling = (x.shape[-1] // num_heads) ** -0.5
     lo = lora or {}
     # Self-attention (causal).
@@ -319,16 +340,16 @@ def _dec_layer_apply(x, enc_out, p, lora, ctx, num_heads, causal_mask):
     q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
     k = _proj(h, p["self_k"], lo.get("self_k"), ctx, 1)
     v = _proj(h, p["self_v"], lo.get("self_v"), ctx, 2)
-    a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
-                  split_heads(v, num_heads), causal_mask)
+    a = _mha(split_heads(q, num_heads), split_heads(k, num_heads),
+             split_heads(v, num_heads), causal_mask, causal=True, flash=flash)
     x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
     # Cross-attention.
     h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
     q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
     k = _proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5)
     v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6)
-    a = attention(split_heads(q, num_heads), split_heads(k, num_heads),
-                  split_heads(v, num_heads))
+    a = _mha(split_heads(q, num_heads), split_heads(k, num_heads),
+             split_heads(v, num_heads), flash=flash)
     x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
     # MLP.
     h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
@@ -341,7 +362,7 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
                  cfg: WhisperConfig, *, lora: Params | None = None,
                  adapter_idx: jnp.ndarray | None = None, lora_scale: float = 1.0,
                  lora_dropout: float = 0.0, dropout_rng: jax.Array | None = None,
-                 remat: bool = False) -> jnp.ndarray:
+                 remat: bool = False, flash: bool = False) -> jnp.ndarray:
     """Teacher-forced decoder forward. tokens: [B, T] -> logits [B, T, V] fp32."""
     dec = params["decoder"]
     dtype = enc_out.dtype
@@ -354,10 +375,10 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
     def body(carry, xs):
         p, lo, li = xs
         y = _dec_layer_apply(carry, enc_out, p, lo, _layer_ctx(ctx, li),
-                             cfg.decoder_heads, causal)
+                             cfg.decoder_heads, causal, flash=flash)
         return y, None
 
-    body = _remat(body, remat)
+    body = _remat(body, remat, flash)
     x, _ = jax.lax.scan(body, x, (dec["layers"], dec_lora,
                                   jnp.arange(cfg.decoder_layers)))
     x = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
@@ -497,11 +518,35 @@ def _attention_int8(q, kq, ks, vq, vs, mask=None):
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
+def _attention_int8_mxu(q, kq, ks, vq, vs, mask=None):
+    """Full-int8-MXU variant of _attention_int8: the query row and the
+    softmax probabilities are ALSO quantized per-row to int8 so both
+    contractions run as int8xint8->int32 on the MXU (2x the bf16 MXU rate).
+
+    Opt-in (--attn_scores int8): probs quantization costs up to ~4% relative
+    output error on random weights — measured 21% faster per attention op on
+    v5e — so it stays gated on the token-agreement harness until real-weight
+    WER evidence exists (PARITY.md known-deviations)."""
+    qq, qs = quantize_kv(q)                               # int8, [B,H,1]
+    scores = jnp.einsum("bhqd,bhsd->bhqs", qq, kq,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = scores * qs[..., None] * ks[:, :, None, :]
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = probs * vs[:, :, None, :]
+    pq, ps = quantize_kv(pw)                              # int8, [B,H,1]
+    out = jnp.einsum("bhqs,bhsd->bhqd", pq, vq,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    return (out * ps[..., None]).astype(q.dtype)
+
+
 def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 cache: DecodeCache, cfg: WhisperConfig, *,
                 lora: Params | None = None,
                 adapter_idx: jnp.ndarray | None = None,
-                lora_scale: float = 1.0) -> tuple[jnp.ndarray, DecodeCache]:
+                lora_scale: float = 1.0,
+                scores_int8: bool = False) -> tuple[jnp.ndarray, DecodeCache]:
     """One autoregressive step. tokens: [B] int32 at position `pos` (scalar).
 
     Returns (logits [B, V] fp32, updated cache). Shapes are static; safe
@@ -514,6 +559,10 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     dtype = (params["decoder"]["token_embed"].dtype if self_int8
              else cache.self_k.dtype)
     max_len = cache.self_k.shape[3]
+    if scores_int8 and (not self_int8 or cache.cross_k_scale is None):
+        raise ValueError("scores_int8 requires an int8 KV cache "
+                         "(cross_kv_int8=True and self_kv_int8=True)")
+    attn_int8 = _attention_int8_mxu if scores_int8 else _attention_int8
 
     x = dec["token_embed"][tokens][:, None, :].astype(dtype)      # [B, 1, d]
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_embed"], pos, 1, 0).astype(dtype)
@@ -547,8 +596,8 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             sv_all = jax.lax.dynamic_update_slice(sv_all, vq[None], (l, 0, 0, pos, 0))
             sks_all = jax.lax.dynamic_update_slice(sks_all, ks[None], (l, 0, 0, pos))
             svs_all = jax.lax.dynamic_update_slice(svs_all, vs[None], (l, 0, 0, pos))
-            a = _attention_int8(split_heads(q, H), sk_all[l], sks_all[l],
-                                sv_all[l], svs_all[l], mask=pos_mask)
+            a = attn_int8(split_heads(q, H), sk_all[l], sks_all[l],
+                          sv_all[l], svs_all[l], mask=pos_mask)
         else:
             sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
             sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
@@ -558,7 +607,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
         if cache.cross_k_scale is not None:
-            a = _attention_int8(
+            a = attn_int8(
                 split_heads(q, H), cache.cross_k[l], cache.cross_k_scale[l],
                 cache.cross_v[l], cache.cross_v_scale[l])
         else:

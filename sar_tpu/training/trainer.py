@@ -53,7 +53,15 @@ class TrainingArgs:
     max_grad_norm: float = 1.0
     max_new_tokens: int = 256
     gradient_checkpointing: bool = True
+    # Blockwise Pallas attention (sar_tpu.ops.flash): "auto" = on for TPU
+    # backends, off elsewhere (the kernel has no CPU build); "on"/"off" force.
+    flash_attention: str = "auto"
     seed: int = 42
+
+    def resolve_flash(self) -> bool:
+        if self.flash_attention == "auto":
+            return jax.default_backend() == "tpu"
+        return self.flash_attention == "on"
 
 
 class ASRTrainer:
@@ -107,7 +115,10 @@ class ASRTrainer:
         self.global_step = 0
         self.epoch = 0
         self.best_metric: float | None = None
-        self._rng = jax.random.PRNGKey(self.args.seed)
+        # rbg keys: dropout masks are [B, T, d]-sized, and threefry bit
+        # generation (plus its remat recompute in the backward) measured ~10%
+        # of the whisper-small train step on v5e; rbg is much cheaper on TPU.
+        self._rng = jax.random.key(self.args.seed, impl="rbg")
         self._build_steps()
 
     # ------------------------------------------------------------------
@@ -116,6 +127,7 @@ class ASRTrainer:
         dtype = self.compute_dtype
 
         multi = self.multi_adapter
+        flash = args.resolve_flash()
 
         def loss_fn(lora, base_params, mel, labels, adapter_idx, rng):
             dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
@@ -124,7 +136,8 @@ class ASRTrainer:
                 base_params, mel.astype(dtype), dec_in, cfg, lora=lora,
                 adapter_idx=adapter_idx if multi else None,
                 lora_scale=lora_cfg.scale, lora_dropout=lora_cfg.dropout,
-                dropout_rng=rng, remat=args.gradient_checkpointing)
+                dropout_rng=rng, remat=args.gradient_checkpointing,
+                flash=flash)
             return whisper.cross_entropy_loss(logits, labels)
 
         def train_step(lora, opt_state, base_params, mels, labels,
@@ -162,7 +175,7 @@ class ASRTrainer:
             idx = adapter_idx if multi else None
             enc_out = whisper.encode(base_params, mel, cfg, lora=lora,
                                      adapter_idx=idx,
-                                     lora_scale=lora_cfg.scale)
+                                     lora_scale=lora_cfg.scale, flash=flash)
             dec_in = whisper.shift_tokens_right(labels, cfg.sot_token_id,
                                                 cfg.pad_token_id)
             logits = whisper.decode_train(base_params, enc_out, dec_in, cfg,

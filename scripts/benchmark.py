@@ -27,6 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--kv_cache", type=str, nargs="+", default=["int8"],
                    choices=["int8", "bf16"])
+    p.add_argument("--attn_scores", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8 runs BOTH attention matmuls on the int8 MXU "
+                        "(~21%% faster/op, approximate: probs are quantized); "
+                        "requires int8 KV; reports token agreement vs bf16")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
@@ -41,7 +46,8 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None):
+def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
+               scores_int8=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -59,31 +65,42 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         audio = jax.device_put(audio, NamedSharding(mesh, P("data", None)))
 
+    flash = jax.default_backend() == "tpu"
+
     @jax.jit
     def prep(params, audio):
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
-        enc = whisper.encode(params, feats, cfg)
+        enc = whisper.encode(params, feats, cfg, flash=flash)
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
 
     from functools import partial
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def dec(params, cache):
-        return greedy_decode_from_cache(params, cache, cfg, prompt)
+    @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
+    def dec(params, cache, s_int8):
+        return greedy_decode_from_cache(params, cache, cfg, prompt,
+                                        scores_int8=s_int8)
 
-    np.asarray(dec(params, prep(params, audio)))      # compile + warm
+    np.asarray(dec(params, prep(params, audio), scores_int8))  # compile+warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = dec(params, prep(params, audio))
+        out = dec(params, prep(params, audio), scores_int8)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    return {"batch": batch, "kv": "int8" if kv_int8 else "bf16",
-            "seconds_per_batch": round(dt, 4),
-            "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
-            "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
+    row = {"batch": batch, "kv": "int8" if kv_int8 else "bf16",
+           "attn_scores": "int8" if scores_int8 else "bf16",
+           "seconds_per_batch": round(dt, 4),
+           "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
+           "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
+    if scores_int8:
+        # The gating harness: int8-MXU scores are an approximation (probs
+        # quantization); record token agreement vs bf16-scores decode.
+        a = np.asarray(dec(params, prep(params, audio), True))
+        b = np.asarray(dec(params, prep(params, audio), False))
+        row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
+    return row
 
 
 def main(argv=None):
@@ -111,18 +128,26 @@ def main(argv=None):
         params = shard_params(params, mesh)
         logger.info("benchmarking on mesh %s", mesh)
     rows = []
-    print(f"{'batch':>6} {'kv':>5} {'s/batch':>9} {'RTFx':>8} {'ms/tok':>8}")
+    print(f"{'batch':>6} {'kv':>5} {'scores':>7} {'s/batch':>9} {'RTFx':>8} "
+          f"{'ms/tok':>8} {'agree':>7}")
     for kv in args.kv_cache:
+        if args.attn_scores == "int8" and kv != "int8":
+            logger.warning("--attn_scores int8 requires int8 KV; skipping "
+                           "kv=%s rows", kv)
+            continue
         for b in args.batch_sizes:
             try:
                 r = run_config(cfg, params, b, args.max_new_tokens,
-                               kv == "int8", args.iters, mesh=mesh)
+                               kv == "int8", args.iters, mesh=mesh,
+                               scores_int8=args.attn_scores == "int8")
             except Exception as e:
                 logger.warning("config batch=%d kv=%s failed: %s", b, kv, e)
                 continue
             rows.append(r)
-            print(f"{r['batch']:>6} {r['kv']:>5} {r['seconds_per_batch']:>9} "
-                  f"{r['rtfx']:>8} {r['ms_per_token']:>8}")
+            print(f"{r['batch']:>6} {r['kv']:>5} {r['attn_scores']:>7} "
+                  f"{r['seconds_per_batch']:>9} {r['rtfx']:>8} "
+                  f"{r['ms_per_token']:>8} "
+                  f"{r.get('token_agreement_vs_bf16', '-'):>7}")
     report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
               "results": rows}
     if args.output:

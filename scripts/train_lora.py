@@ -72,6 +72,9 @@ def parse_args(argv=None):
                    help="Pin the jax platform (cpu + "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "gives an N-device virtual mesh)")
+    p.add_argument("--flash_attention", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Blockwise Pallas attention (auto = on for TPU)")
     # Output
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--save_steps", type=int, default=1000)
@@ -165,7 +168,8 @@ def main(argv=None):
         eval_steps=args.eval_steps, scheduler=args.scheduler_type,
         mixed_precision=args.mixed_precision,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
-        max_new_tokens=args.max_new_tokens, seed=args.seed)
+        max_new_tokens=args.max_new_tokens,
+        flash_attention=args.flash_attention, seed=args.seed)
     from sar_tpu.parallel.sharding import mesh_from_flags
     mesh = mesh_from_flags(args.dp, args.tp)
     if mesh is not None:
