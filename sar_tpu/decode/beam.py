@@ -50,6 +50,7 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 lora_scale: float = 1.0,
                 cross_kv_int8: bool = False,
                 self_kv_int8: bool = False,
+                scores_int8: bool = False,
                 suppress_ids: tuple[int, ...] = (),
                 begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
     """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total];
@@ -101,7 +102,8 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         flat_tok = run_seqs.reshape(B * K, total)[:, pos]
         logits, cache = whisper.decode_step(
             params, flat_tok, pos, cache, cfg, lora=lora,
-            adapter_idx=idx_k, lora_scale=lora_scale)
+            adapter_idx=idx_k, lora_scale=lora_scale,
+            scores_int8=scores_int8)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         # Substrate beam mode masks the log-probs (no renormalization).
         if suppress is not None:

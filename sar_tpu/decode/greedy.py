@@ -30,6 +30,7 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   lora_scale: float = 1.0,
                   cross_kv_int8: bool = False,
                   self_kv_int8: bool = False,
+                  scores_int8: bool = False,
                   suppress_ids: tuple[int, ...] = (),
                   begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
@@ -55,8 +56,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                self_kv_int8=self_kv_int8)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
-        lora_scale=lora_scale, suppress_ids=suppress_ids,
-        begin_suppress_ids=begin_suppress_ids)
+        lora_scale=lora_scale, scores_int8=scores_int8,
+        suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -64,6 +65,7 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              lora: dict | None = None,
                              adapter_idx: jnp.ndarray | None = None,
                              lora_scale: float = 1.0,
+                             scores_int8: bool = False,
                              suppress_ids: tuple[int, ...] = (),
                              begin_suppress_ids: tuple[int, ...] = ()
                              ) -> jnp.ndarray:
@@ -104,7 +106,8 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                                     self_k_scale=sks, self_v_scale=svs)
         logits, step_cache = whisper.decode_step(
             params, tokens[:, pos], pos, step_cache, cfg,
-            lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale)
+            lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale,
+            scores_int8=scores_int8)
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if begin_suppress is not None:
@@ -131,16 +134,17 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_new_tokens", "lora_scale", "cross_kv_int8", "self_kv_int8",
-    "suppress_ids", "begin_suppress_ids"))
+    "scores_int8", "suppress_ids", "begin_suppress_ids"))
 def greedy_decode_jit(params, enc_out, cfg, prompt_ids, max_new_tokens=256,
                       lora=None, adapter_idx=None, lora_scale=1.0,
                       cross_kv_int8=False, self_kv_int8=False,
-                      suppress_ids=(), begin_suppress_ids=()):
+                      scores_int8=False, suppress_ids=(),
+                      begin_suppress_ids=()):
     return greedy_decode(params, enc_out, cfg, prompt_ids,
                          max_new_tokens=max_new_tokens, lora=lora,
                          adapter_idx=adapter_idx, lora_scale=lora_scale,
                          cross_kv_int8=cross_kv_int8, self_kv_int8=self_kv_int8,
-                         suppress_ids=suppress_ids,
+                         scores_int8=scores_int8, suppress_ids=suppress_ids,
                          begin_suppress_ids=begin_suppress_ids)
 
 

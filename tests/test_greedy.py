@@ -129,3 +129,21 @@ def test_suppress_and_begin_suppress(setup, rng):
     gen = np.asarray(out2)[:, P:]
     gen = gen[gen != cfg.eos_token_id]
     assert not (set(gen.tolist()) & first)
+
+
+def test_scores_int8_agreement(setup, rng):
+    """Opt-in int8-MXU attention scores: high token agreement vs bf16 scores,
+    and a clear error without an int8 KV cache."""
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins, 64)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
+    base = greedy_decode(params, enc, cfg, prompt, max_new_tokens=16,
+                         cross_kv_int8=True, self_kv_int8=True)
+    q = greedy_decode(params, enc, cfg, prompt, max_new_tokens=16,
+                      cross_kv_int8=True, self_kv_int8=True, scores_int8=True)
+    agreement = (np.asarray(base) == np.asarray(q)).mean()
+    assert agreement > 0.8, agreement
+    with pytest.raises(ValueError, match="int8 KV"):
+        greedy_decode(params, enc, cfg, prompt, max_new_tokens=4,
+                      scores_int8=True)
