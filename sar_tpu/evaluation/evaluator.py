@@ -109,13 +109,12 @@ class ASREvaluator:
     def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
         B = mel.shape[0]
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            n_data = self.mesh.shape["data"]
-            pad = (-B) % n_data
+            from sar_tpu.parallel.distributed import (n_batch_shards,
+                                                      put_global_batch)
+            pad = (-B) % n_batch_shards(self.mesh)
             if pad:
                 mel = jnp.pad(mel, [(0, pad), (0, 0), (0, 0)])
-            mel = jax.device_put(
-                mel, NamedSharding(self.mesh, P("data", None, None)))
+            mel = put_global_batch(np.asarray(mel), self.mesh)
         if self.num_beams > 1:
             # Beam builds its own beam-expanded cache; skip the greedy cache.
             enc = self._prep_enc(self.params, mel)

@@ -1,0 +1,175 @@
+"""Multi-host / multi-slice (DCN) execution support.
+
+The reference has no distributed training at all — it scales out as a SLURM
+array of independent single-GPU jobs (slurm_jobs/train_lora_array.sh:11) and
+its only "backend" is the filesystem. Here scale-out past a single slice is
+first-class and TPU-native:
+
+- `maybe_initialize_distributed()` wires up `jax.distributed` (one Python
+  process per host) from the standard environments — explicit coordinator
+  env vars, SLURM, or TPU-pod metadata — and is a no-op for the common
+  single-process case, so every CLI can call it unconditionally.
+- `make_multislice_mesh()` builds a mesh with a leading "replica" axis laid
+  out over DCN and ("data", "model") within a slice over ICI. Gradients
+  all-reduce hierarchically (ICI inside the slice first, DCN across slices
+  second — XLA does this automatically for a contiguous device order), while
+  tensor-parallel collectives stay strictly on ICI. This is the
+  scaling-book layout: bandwidth-hungry collectives ride the fast
+  interconnect; only the (small, once-per-step) gradient reduction crosses
+  DCN.
+- `put_global_batch()` assembles a logically-global batch from per-host
+  shards (`jax.make_array_from_process_local_data`), so no host ever
+  materializes more than its own slice of the data.
+
+Parameters need no "replica" spec entries: PartitionSpecs that don't name
+the axis are replicated over it, which is exactly DP semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def maybe_initialize_distributed(coordinator_address: str | None = None,
+                                 num_processes: int | None = None,
+                                 process_id: int | None = None) -> bool:
+    """Initialize jax.distributed when the environment is multi-process.
+
+    Call this before any other jax API in every CLI. Detection order:
+    1. explicit arguments (all three required together),
+    2. `COORDINATOR_ADDRESS`/`NUM_PROCESSES`/`PROCESS_ID` env vars,
+    3. SLURM multi-task allocations (`SLURM_NTASKS` > 1) and Cloud-TPU pod
+       metadata, both of which `jax.distributed.initialize()` auto-detects.
+
+    Returns True when a multi-process runtime was (or already is) set up,
+    False for a plain single-process run. Idempotent.
+    """
+    global _initialized
+    if _initialized:
+        return True
+
+    env_addr = os.environ.get("COORDINATOR_ADDRESS")
+    env_np = os.environ.get("NUM_PROCESSES")
+    env_pid = os.environ.get("PROCESS_ID")
+    slurm_ntasks = int(os.environ.get("SLURM_NTASKS", "1") or 1)
+    tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    tpu_hosts = [h for h in tpu_pod.split(",") if h and not h.startswith("WARN")]
+
+    if coordinator_address is None and env_addr:
+        coordinator_address = env_addr
+        num_processes = int(env_np) if env_np else None
+        process_id = int(env_pid) if env_pid else None
+
+    auto = slurm_ntasks > 1 or len(tpu_hosts) > 1
+    if coordinator_address is None and not auto:
+        return False  # single-process: nothing to do
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    else:
+        jax.distributed.initialize()  # SLURM / TPU-pod auto-detection
+    _initialized = True
+    logger.info("jax.distributed: process %d/%d, %d local + %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.local_devices()), len(jax.devices()))
+    return True
+
+
+def num_slices(devices=None) -> int:
+    """Number of distinct TPU slices among `devices` (1 on CPU/GPU)."""
+    devices = devices if devices is not None else jax.devices()
+    return len({getattr(d, "slice_index", 0) for d in devices})
+
+
+def make_multislice_mesh(dp: int = 1, tp: int = 1,
+                         replicas: int | None = None,
+                         devices=None) -> Mesh:
+    """Mesh with axes ("replica", "data", "model").
+
+    "replica" is pure data parallelism over DCN (across slices / hosts);
+    ("data", "model") live within a slice over ICI. On real multi-slice
+    hardware the device order groups each slice contiguously so the
+    "replica" axis cuts exactly along slice boundaries; on single-slice or
+    virtual-CPU backends it is a plain reshape (the program is identical —
+    only the physical link under the collective differs).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if replicas is None:
+        replicas = max(1, len(devices) // (dp * tp))
+    want = replicas * dp * tp
+    if want > len(devices):
+        raise ValueError(
+            f"mesh {replicas}x{dp}x{tp} needs {want} devices but only "
+            f"{len(devices)} are visible")
+    devices = devices[:want]
+
+    n_slices = num_slices(devices)
+    if n_slices > 1:
+        if replicas % n_slices:
+            raise ValueError(
+                f"replica axis ({replicas}) must be a multiple of the slice "
+                f"count ({n_slices}) so DCN traffic stays on the replica axis")
+        # Group each slice's devices contiguously, then slice-major reshape:
+        # replica strides across slices first, ("data","model") stay inside
+        # one slice -> TP/ICI never crosses DCN.
+        devices = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
+                                                 d.id))
+    arr = np.asarray(devices).reshape(replicas, dp, tp)
+    return Mesh(arr, ("replica", "data", "model"))
+
+
+def batch_axis_names(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the batch dimension shards over (everything but "model")."""
+    return tuple(n for n in mesh.axis_names if n != "model")
+
+
+def n_batch_shards(mesh: Mesh) -> int:
+    """Total batch-parallel ways (product of replica and data axis sizes)."""
+    n = 1
+    for name in batch_axis_names(mesh):
+        n *= mesh.shape[name]
+    return n
+
+
+def global_batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0
+                          ) -> NamedSharding:
+    spec = [None] * ndim
+    spec[batch_axis] = batch_axis_names(mesh)
+    return NamedSharding(mesh, P(*spec))
+
+
+def put_global_batch(x, mesh: Mesh, batch_axis: int = 0):
+    """Host array -> global device array sharded over the batch axes.
+
+    Single-process: a plain device_put resharding of the full array.
+    Multi-process: `x` is this host's LOCAL shard (the loader feeds each
+    process `global_batch / process_count` rows) and the result is the
+    logically-global array — `jax.make_array_from_process_local_data`
+    assembles it without any cross-host copy of the data itself.
+    """
+    x = np.asarray(x)
+    sharding = global_batch_sharding(mesh, x.ndim, batch_axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
+def local_batch_size(global_batch_size: int) -> int:
+    """Rows this host should load (even split; batch must divide evenly)."""
+    n = jax.process_count()
+    if global_batch_size % n:
+        raise ValueError(f"global batch {global_batch_size} not divisible by "
+                         f"{n} processes")
+    return global_batch_size // n

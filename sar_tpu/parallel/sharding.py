@@ -35,20 +35,28 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
-def mesh_from_flags(dp: int, tp: int) -> Mesh | None:
-    """CLI helper (--dp/--tp flags): a dp x tp mesh over the first dp*tp
-    visible devices, or None when dp*tp == 1 (single-device run)."""
-    if dp * tp <= 1:
+def mesh_from_flags(dp: int, tp: int, dcn_dp: int = 1) -> Mesh | None:
+    """CLI helper (--dp/--tp/--dcn_dp flags): a mesh over the first
+    dcn_dp*dp*tp visible devices, or None when the product is 1
+    (single-device run). With --dcn_dp > 1 the mesh gains a leading
+    "replica" axis laid out over DCN (multi-slice / multi-host DP; see
+    distributed.make_multislice_mesh)."""
+    want = dcn_dp * dp * tp
+    if want <= 1:
         return None
     devices = jax.devices()
-    if len(devices) < dp * tp:
+    if len(devices) < want:
         raise SystemExit(
-            f"error: --dp {dp} x --tp {tp} needs {dp * tp} devices but only "
-            f"{len(devices)} are visible ({devices[0].platform}); for a "
-            f"virtual-device dry run set "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count={dp * tp} "
+            f"error: --dcn_dp {dcn_dp} x --dp {dp} x --tp {tp} needs {want} "
+            f"devices but only {len(devices)} are visible "
+            f"({devices[0].platform}); for a virtual-device dry run set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={want} "
             f"with JAX_PLATFORMS=cpu")
-    return make_mesh(n_data=dp, n_model=tp, devices=devices[:dp * tp])
+    if dcn_dp > 1:
+        from sar_tpu.parallel.distributed import make_multislice_mesh
+        return make_multislice_mesh(dp=dp, tp=tp, replicas=dcn_dp,
+                                    devices=devices[:want])
+    return make_mesh(n_data=dp, n_model=tp, devices=devices[:want])
 
 
 def _layer_specs(prefix: str) -> dict:
@@ -114,13 +122,17 @@ def shard_lora(lora: dict, mesh: Mesh) -> dict:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading batch axis over "data"."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading batch axis over every non-"model" mesh axis."""
+    from sar_tpu.parallel.distributed import batch_axis_names
+    return NamedSharding(mesh, P(batch_axis_names(mesh)))
 
 
 def shard_batch(batch, mesh: Mesh):
     """device_put every leading-batch array in a batch dict."""
+    from sar_tpu.parallel.distributed import batch_axis_names
+    axes = batch_axis_names(mesh)
+
     def put(x):
-        spec = P(*(["data"] + [None] * (x.ndim - 1)))
+        spec = P(*([axes] + [None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, batch)

@@ -192,20 +192,22 @@ class ASRTrainer:
 
     # ------------------------------------------------------------------
     def _put(self, x, batch_axis: int):
-        """Host batch array -> device, sharded over "data" when on a mesh."""
-        x = jnp.asarray(x)
+        """Host batch array -> device, sharded over the mesh's batch axes
+        ("data", plus "replica" on a multi-slice/DCN mesh). Under a
+        multi-process runtime, `x` is this host's local shard and the result
+        is the logically-global array (see distributed.put_global_batch)."""
+        x = np.asarray(x)
         if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        n_data = self.mesh.shape["data"]
-        if x.shape[batch_axis] % n_data:
+            return jnp.asarray(x)
+        from sar_tpu.parallel.distributed import (n_batch_shards,
+                                                  put_global_batch)
+        n_data = n_batch_shards(self.mesh)
+        if (x.shape[batch_axis] * jax.process_count()) % n_data:
             raise ValueError(
                 f"batch axis {batch_axis} of shape {x.shape} not divisible "
-                f"by the mesh's data axis ({n_data}); pick batch_size as a "
-                f"multiple of --dp")
-        spec = [None] * x.ndim
-        spec[batch_axis] = "data"
-        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+                f"by the mesh's batch shards ({n_data}); pick batch_size as "
+                f"a multiple of --dcn_dp x --dp")
+        return put_global_batch(x, self.mesh, batch_axis)
 
     # ------------------------------------------------------------------
     def train(self, train_loader, eval_loader=None) -> dict:
@@ -289,9 +291,10 @@ class ASRTrainer:
             ids_np = np.asarray(batch.get(
                 "language_ids", np.zeros(B, np.int32)), np.int32)
             if self.mesh is not None:
-                # Pad partial batches to a multiple of the data axis; padded
-                # rows carry all -100 labels (zero loss-mask weight).
-                n_data = self.mesh.shape["data"]
+                # Pad partial batches to a multiple of the batch shards;
+                # padded rows carry all -100 labels (zero loss-mask weight).
+                from sar_tpu.parallel.distributed import n_batch_shards
+                n_data = n_batch_shards(self.mesh)
                 pad = (-B) % n_data
                 if pad:
                     mels = np.pad(mels, [(0, pad)] + [(0, 0)] * (mels.ndim - 1))

@@ -42,6 +42,8 @@ def parse_args(argv=None):
                    help="Data-parallel mesh axis (batch shards over it)")
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel mesh axis (ICI-sharded model)")
+    p.add_argument("--dcn_dp", type=int, default=1,
+                   help="Data-parallel replicas over DCN (multi-slice/multi-host)")
     p.add_argument("--output", type=str, default=None)
     return p.parse_args(argv)
 
@@ -122,8 +124,10 @@ def main(argv=None):
         cfg = get_config(args.model)
         params = whisper.cast_params(
             whisper.init_params(jax.random.PRNGKey(0), cfg), jnp.bfloat16)
+    from sar_tpu.parallel.distributed import maybe_initialize_distributed
     from sar_tpu.parallel.sharding import mesh_from_flags, shard_params
-    mesh = mesh_from_flags(args.dp, args.tp)
+    maybe_initialize_distributed()
+    mesh = mesh_from_flags(args.dp, args.tp, args.dcn_dp)
     if mesh is not None:
         params = shard_params(params, mesh)
         logger.info("benchmarking on mesh %s", mesh)

@@ -52,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel mesh axis (ICI-sharded encoder/"
                         "decoder for whisper-large batch inference)")
+    p.add_argument("--dcn_dp", type=int, default=1,
+                   help="Data-parallel replicas over DCN (multi-slice/multi-host)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_predictions", action="store_true")
     p.add_argument("--per_sample", action="store_true",
@@ -109,8 +111,10 @@ def main(argv=None):
     logger.info("evaluating %d samples (%s/%s)", len(ds), args.language,
                 args.split)
 
+    from sar_tpu.parallel.distributed import maybe_initialize_distributed
     from sar_tpu.parallel.sharding import mesh_from_flags
-    mesh = mesh_from_flags(args.dp, args.tp)
+    maybe_initialize_distributed()
+    mesh = mesh_from_flags(args.dp, args.tp, args.dcn_dp)
     if mesh is not None:
         logger.info("evaluating on mesh %s", mesh)
     evaluator = ASREvaluator(cfg, params, tokenizer, language=args.language,

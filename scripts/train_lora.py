@@ -65,6 +65,9 @@ def parse_args(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="Tensor-parallel mesh axis (attention heads / FFN "
                         "shard over it)")
+    p.add_argument("--dcn_dp", type=int, default=1,
+                   help="Data-parallel replicas over DCN (multi-slice/multi-host;\n"
+                        "adds a leading 'replica' mesh axis)")
     p.add_argument("--num_workers", type=int, default=0,
                    help="Dataloader prefetch workers (reference ran 4)")
     p.add_argument("--platform", type=str, default="auto",
@@ -170,8 +173,10 @@ def main(argv=None):
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         max_new_tokens=args.max_new_tokens,
         flash_attention=args.flash_attention, seed=args.seed)
+    from sar_tpu.parallel.distributed import maybe_initialize_distributed
     from sar_tpu.parallel.sharding import mesh_from_flags
-    mesh = mesh_from_flags(args.dp, args.tp)
+    maybe_initialize_distributed()
+    mesh = mesh_from_flags(args.dp, args.tp, args.dcn_dp)
     if mesh is not None:
         logger.info("training on mesh %s", mesh)
     trainer = ASRTrainer(cfg, params, bank, lcfg, targs, tokenizer=tokenizer,
