@@ -32,7 +32,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   self_kv_int8: bool = False,
                   scores_int8: bool = False,
                   suppress_ids: tuple[int, ...] = (),
-                  begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+                  begin_suppress_ids: tuple[int, ...] = (),
+                  prompt_len: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -57,7 +58,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, scores_int8=scores_int8,
-        suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids)
+        suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
+        prompt_len=prompt_len)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -67,16 +69,24 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              lora_scale: float = 1.0,
                              scores_int8: bool = False,
                              suppress_ids: tuple[int, ...] = (),
-                             begin_suppress_ids: tuple[int, ...] = ()
+                             begin_suppress_ids: tuple[int, ...] = (),
+                             prompt_len: jnp.ndarray | None = None
                              ) -> jnp.ndarray:
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
-    semantics; the reference clears these, so both default empty)."""
+    semantics; the reference clears these, so both default empty).
+
+    `prompt_len` (traced int32 scalar, <= prompt_ids width) makes the forced
+    prefix length DYNAMIC: positions < prompt_len force the buffer's token,
+    the rest are generated. One compiled program then serves every prefix
+    length — this is what incremental/streaming decoding rides (the
+    committed transcript grows every update without retracing)."""
     B = cache.cross_k.shape[1]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
     P = prompt_ids.shape[1]
+    plen = P if prompt_len is None else prompt_len
     total = cache.self_k.shape[3]
     eos = cfg.eos_token_id
 
@@ -111,13 +121,13 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if begin_suppress is not None:
-            first_gen = pos == P - 1
+            first_gen = pos == plen - 1
             masked = logits.at[:, begin_suppress].set(
                 jnp.finfo(jnp.float32).min)
             logits = jnp.where(first_gen, masked, logits)
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Prompt positions force the provided token; finished rows emit EOS.
-        in_prompt = pos + 1 < P
+        in_prompt = pos + 1 < plen
         forced = jax.lax.dynamic_slice_in_dim(
             tokens, jnp.minimum(pos + 1, total - 1), 1, axis=1)[:, 0]
         nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))

@@ -44,8 +44,54 @@ def parse_args(argv=None):
                    help="Tensor-parallel mesh axis (ICI-sharded model)")
     p.add_argument("--dcn_dp", type=int, default=1,
                    help="Data-parallel replicas over DCN (multi-slice/multi-host)")
+    p.add_argument("--streaming", action="store_true",
+                   help="Benchmark incremental (streaming) transcription: "
+                        "per-update latency + real-time factor at batch 1")
+    p.add_argument("--streaming_chunk_seconds", type=float, default=1.0,
+                   help="Audio fed per streaming update")
     p.add_argument("--output", type=str, default=None)
     return p.parse_args(argv)
+
+
+def run_streaming(cfg, params, chunk_seconds, iters, kv_int8,
+                  max_new_tokens):
+    """Per-update latency of StreamingTranscriber (batch 1). A streaming
+    system is real-time iff latency < chunk_seconds (rtf > 1): every update
+    re-encodes the window and replays the committed transcript through ONE
+    pre-compiled decode program (traced prompt_len, no retracing)."""
+    import numpy as np
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.evaluation.streaming import StreamingTranscriber
+    from sar_tpu.ops import mel as mel_ops
+
+    st = StreamingTranscriber(cfg, params, CharTokenizer(cfg),
+                              language="hindi",
+                              max_new_tokens=max_new_tokens,
+                              kv_int8=kv_int8)
+    rng = np.random.default_rng(0)
+    chunk_n = int(chunk_seconds * mel_ops.SAMPLE_RATE)
+    updates = max(1, st.window_samples // chunk_n)
+
+    def chunk():
+        return (rng.standard_normal(chunk_n) * 0.1).astype(np.float32)
+
+    st.feed(chunk())                        # compile + warm
+    lats = []
+    for _ in range(iters):
+        st.reset()
+        for _ in range(updates):
+            t0 = time.perf_counter()
+            st.feed(chunk())
+            lats.append(time.perf_counter() - t0)
+    lats = sorted(lats)
+    mean = sum(lats) / len(lats)
+    p90 = lats[int(0.9 * (len(lats) - 1))]
+    return {"mode": "streaming", "chunk_seconds": chunk_seconds,
+            "updates_per_window": updates,
+            "ms_per_update_mean": round(mean * 1000, 2),
+            "ms_per_update_p90": round(p90 * 1000, 2),
+            "streaming_rtf": round(chunk_seconds / mean, 2),
+            "kv": "int8" if kv_int8 else "bf16"}
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
@@ -132,6 +178,19 @@ def main(argv=None):
         params = shard_params(params, mesh)
         logger.info("benchmarking on mesh %s", mesh)
     rows = []
+    if args.streaming:
+        for kv in args.kv_cache:
+            r = run_streaming(cfg, params, args.streaming_chunk_seconds,
+                              args.iters, kv == "int8", args.max_new_tokens)
+            rows.append(r)
+            print(f"streaming kv={r['kv']}: {r['ms_per_update_mean']} ms/update "
+                  f"(p90 {r['ms_per_update_p90']}), rtf {r['streaming_rtf']}x "
+                  f"({r['updates_per_window']} updates/window)")
+        report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
+                  "results": rows}
+        if args.output:
+            Path(args.output).write_text(json.dumps(report, indent=2))
+        return report
     print(f"{'batch':>6} {'kv':>5} {'scores':>7} {'s/batch':>9} {'RTFx':>8} "
           f"{'ms/tok':>8} {'agree':>7}")
     for kv in args.kv_cache:

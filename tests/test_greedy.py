@@ -147,3 +147,23 @@ def test_scores_int8_agreement(setup, rng):
     with pytest.raises(ValueError, match="int8 KV"):
         greedy_decode(params, enc, cfg, prompt, max_new_tokens=4,
                       scores_int8=True)
+
+
+def test_dynamic_prompt_len_matches_static(setup, rng):
+    """A traced prompt_len over a wider (junk-padded) buffer must reproduce
+    the static-prompt decode exactly — the streaming path's foundation."""
+    cfg, params = setup
+    mel = jnp.asarray(rng.standard_normal((2, cfg.num_mel_bins,
+                                           cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = np.asarray(cfg.prompt_ids("hindi"), np.int32)
+    P = len(prompt)
+    static = greedy_decode(params, enc, cfg, jnp.asarray(prompt),
+                           max_new_tokens=12)
+    total = static.shape[1]
+    # Buffer wider than the true prompt, junk beyond position P.
+    buf = np.full((2, total), 99, np.int32)
+    buf[:, :P] = prompt
+    dyn = greedy_decode(params, enc, cfg, jnp.asarray(buf),
+                        max_new_tokens=0, prompt_len=jnp.int32(P))
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(static))
