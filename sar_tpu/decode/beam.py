@@ -6,9 +6,10 @@ search). This is a TPU-native implementation of the same algorithm the
 substrate runs (transformers GenerationMixin._beam_search): fixed beam width
 K, a 2K candidate expansion per step, separate running/finished beam sets
 merged by top-k, and the early-stopping heuristic of early_stopping=False —
-all inside one `lax.while_loop` with static shapes, the KV cache kept at
+all inside one `lax.while_loop` with static shapes, the self-KV cache kept at
 [L, B*K, ...] and gathered along the beam axis on every reorder, so the whole
-search stays on device.
+search stays on device. Cross K/V live at [L, B, ...] — one copy per sample,
+shared by its beams (see the performance note).
 
 Semantics mirrored from the substrate (for token-level parity, verified in
 tests/test_generate_parity.py):
@@ -25,10 +26,13 @@ tests/test_generate_parity.py):
 - suppress masks are applied to the *log-probs* (no renormalization), exactly
   like the substrate's logits processors in beam mode.
 
-Performance note: like every cache-reordering beam search (HF reorder_cache,
-t5x), each step gathers the whole self cache along the beam axis — ~2-3x the
-per-token cost of greedy. Cross K/V are NOT reordered (identical across a
-sample's beams). Use int8 KV flags to halve the gather traffic.
+Performance note: cross K/V — the dominant decode traffic (S=1500) — are
+stored ONCE per sample and shared across its beams: `decode_step(beam_width=K)`
+folds the K beam queries into the attention's query dimension, so each step
+streams the cross slab once instead of K times (HF/t5x repeat it per beam).
+The remaining beam overhead is the per-step self-cache gather along the beam
+axis (the classic reorder_cache cost) — bounded by max_target_positions=448
+rows vs the 1500-frame cross slab. Use int8 KV flags to halve both.
 """
 
 from __future__ import annotations
@@ -65,13 +69,17 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     eos = cfg.eos_token_id
     V = cfg.vocab_size
 
-    # Expand encoder states and adapter indices beam-wise: [B*K, ...].
-    enc_k = jnp.repeat(enc_out, K, axis=0)
+    # Cross K/V are computed and stored ONCE per sample and shared across its
+    # K beams (decode_step folds beam queries into the attention's query dim)
+    # — cross-KV is the dominant decode traffic, so beam costs ~greedy+reorder
+    # per row instead of K x the cross reads. Only the self cache and the
+    # adapter indices are beam-expanded to [B*K, ...].
     idx_k = None if adapter_idx is None else jnp.repeat(adapter_idx, K, axis=0)
-    cache = whisper.init_cache(params, enc_k, cfg, max_len=total, lora=lora,
-                               adapter_idx=idx_k, lora_scale=lora_scale,
+    cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
+                               adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
-                               self_kv_int8=self_kv_int8)
+                               self_kv_int8=self_kv_int8,
+                               self_batch=B * K)
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
@@ -103,7 +111,7 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         logits, cache = whisper.decode_step(
             params, flat_tok, pos, cache, cfg, lora=lora,
             adapter_idx=idx_k, lora_scale=lora_scale,
-            scores_int8=scores_int8)
+            scores_int8=scores_int8, beam_width=K)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
         # Substrate beam mode masks the log-probs (no renormalization).
         if suppress is not None:

@@ -458,13 +458,20 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                adapter_idx: jnp.ndarray | None = None,
                lora_scale: float = 1.0,
                cross_kv_int8: bool = False,
-               self_kv_int8: bool = False) -> DecodeCache:
+               self_kv_int8: bool = False,
+               self_batch: int | None = None) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
-    computed once and reused across all decode steps."""
+    computed once and reused across all decode steps.
+
+    `self_batch` decouples the self-cache batch from the cross-KV batch:
+    beam search keeps cross K/V at ONE copy per sample (shared across the
+    sample's beams via `decode_step(beam_width=K)`) while the self cache
+    holds B*K rows."""
     dec = params["decoder"]
     B = enc_out.shape[0]
+    SB = self_batch if self_batch is not None else B
     H, hd = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
     dtype = enc_out.dtype
     ctx = LoraCtx(adapter_idx, lora_scale)
@@ -489,12 +496,12 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     L = ck.shape[0]
     self_dtype = jnp.int8 if self_kv_int8 else dtype
     return DecodeCache(
-        self_k=jnp.zeros((L, B, H, max_len, hd), self_dtype),
-        self_v=jnp.zeros((L, B, H, max_len, hd), self_dtype),
+        self_k=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
+        self_v=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
         cross_k=ck, cross_v=cv, cross_k_scale=cks, cross_v_scale=cvs,
-        self_k_scale=(jnp.zeros((L, B, H, max_len), jnp.float32)
+        self_k_scale=(jnp.zeros((L, SB, H, max_len), jnp.float32)
                       if self_kv_int8 else None),
-        self_v_scale=(jnp.zeros((L, B, H, max_len), jnp.float32)
+        self_v_scale=(jnp.zeros((L, SB, H, max_len), jnp.float32)
                       if self_kv_int8 else None))
 
 
@@ -546,11 +553,18 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 lora: Params | None = None,
                 adapter_idx: jnp.ndarray | None = None,
                 lora_scale: float = 1.0,
-                scores_int8: bool = False) -> tuple[jnp.ndarray, DecodeCache]:
+                scores_int8: bool = False,
+                beam_width: int = 1) -> tuple[jnp.ndarray, DecodeCache]:
     """One autoregressive step. tokens: [B] int32 at position `pos` (scalar).
 
     Returns (logits [B, V] fp32, updated cache). Shapes are static; safe
     inside lax.while_loop.
+
+    `beam_width` K > 1 means rows are beam-major groups of K per sample
+    (row b*K+k = sample b, beam k) and the cache's cross K/V hold ONE copy
+    per sample: the K beam queries are folded into the attention's query
+    dimension, so cross-KV — the dominant decode traffic (S=1500) — is
+    read once per sample instead of once per beam.
     """
     dec = params["decoder"]
     B = tokens.shape[0]
@@ -606,12 +620,21 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         # Cross-attention against precomputed K/V (int8 path when quantized).
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
+        qh = split_heads(q, H)                          # [B, H, 1, hd]
+        if beam_width > 1:
+            # Fold the K beams of each sample into the query dimension so the
+            # shared (per-sample) cross K/V slab is streamed once, not K times.
+            hd = qh.shape[-1]
+            qh = (qh[:, :, 0].reshape(B // beam_width, beam_width, H, hd)
+                  .transpose(0, 2, 1, 3))               # [B/K, H, K, hd]
         if cache.cross_k_scale is not None:
-            a = attn_int8(
-                split_heads(q, H), cache.cross_k[l], cache.cross_k_scale[l],
-                cache.cross_v[l], cache.cross_v_scale[l])
+            a = attn_int8(qh, cache.cross_k[l], cache.cross_k_scale[l],
+                          cache.cross_v[l], cache.cross_v_scale[l])
         else:
-            a = attention(split_heads(q, H), cache.cross_k[l], cache.cross_v[l])
+            a = attention(qh, cache.cross_k[l], cache.cross_v[l])
+        if beam_width > 1:
+            a = (a.transpose(0, 2, 1, 3)                # [B/K, K, H, hd]
+                 .reshape(B, H, hd)[:, :, None, :])     # [B, H, 1, hd]
         x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
         # MLP.
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])

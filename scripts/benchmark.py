@@ -32,6 +32,9 @@ def parse_args(argv=None):
                    help="int8 runs BOTH attention matmuls on the int8 MXU "
                         "(~21%% faster/op, approximate: probs are quantized); "
                         "requires int8 KV; reports token agreement vs bf16")
+    p.add_argument("--num_beams", type=int, nargs="+", default=[1],
+                   help="Beam widths to sweep (1 = greedy); beam rows report "
+                        "the per-token cost of the cache-reordering search")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
@@ -95,10 +98,11 @@ def run_streaming(cfg, params, chunk_seconds, iters, kv_int8,
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
-               scores_int8=False):
+               scores_int8=False, num_beams=1):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from sar_tpu.decode.beam import beam_decode
     from sar_tpu.decode.greedy import greedy_decode_from_cache
     from sar_tpu.models import whisper
     from sar_tpu.ops import mel as mel_ops
@@ -124,6 +128,13 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
 
+    @jax.jit
+    def prep_enc(params, audio):
+        feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
+                                            dtype=jnp.bfloat16)
+        feats = feats[:, :, :cfg.num_audio_frames]
+        return whisper.encode(params, feats, cfg, flash=flash)
+
     from functools import partial
 
     @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
@@ -131,18 +142,31 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         return greedy_decode_from_cache(params, cache, cfg, prompt,
                                         scores_int8=s_int8)
 
-    np.asarray(dec(params, prep(params, audio), scores_int8))  # compile+warm
+    @jax.jit
+    def dec_beam(params, enc):
+        return beam_decode(params, enc, cfg, prompt, num_beams=num_beams,
+                           max_new_tokens=max_new_tokens,
+                           cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                           scores_int8=scores_int8)
+
+    if num_beams > 1:
+        run = lambda: dec_beam(params, prep_enc(params, audio))
+    else:
+        run = lambda: dec(params, prep(params, audio), scores_int8)
+
+    np.asarray(run())                       # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = dec(params, prep(params, audio), scores_int8)
+        out = run()
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
     row = {"batch": batch, "kv": "int8" if kv_int8 else "bf16",
            "attn_scores": "int8" if scores_int8 else "bf16",
+           "num_beams": num_beams,
            "seconds_per_batch": round(dt, 4),
            "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
            "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
-    if scores_int8:
+    if scores_int8 and num_beams == 1:
         # The gating harness: int8-MXU scores are an approximation (probs
         # quantization); record token agreement vs bf16-scores decode.
         a = np.asarray(dec(params, prep(params, audio), True))
@@ -191,26 +215,29 @@ def main(argv=None):
         if args.output:
             Path(args.output).write_text(json.dumps(report, indent=2))
         return report
-    print(f"{'batch':>6} {'kv':>5} {'scores':>7} {'s/batch':>9} {'RTFx':>8} "
-          f"{'ms/tok':>8} {'agree':>7}")
+    print(f"{'batch':>6} {'kv':>5} {'scores':>7} {'beams':>6} {'s/batch':>9} "
+          f"{'RTFx':>8} {'ms/tok':>8} {'agree':>7}")
     for kv in args.kv_cache:
         if args.attn_scores == "int8" and kv != "int8":
             logger.warning("--attn_scores int8 requires int8 KV; skipping "
                            "kv=%s rows", kv)
             continue
-        for b in args.batch_sizes:
-            try:
-                r = run_config(cfg, params, b, args.max_new_tokens,
-                               kv == "int8", args.iters, mesh=mesh,
-                               scores_int8=args.attn_scores == "int8")
-            except Exception as e:
-                logger.warning("config batch=%d kv=%s failed: %s", b, kv, e)
-                continue
-            rows.append(r)
-            print(f"{r['batch']:>6} {r['kv']:>5} {r['attn_scores']:>7} "
-                  f"{r['seconds_per_batch']:>9} {r['rtfx']:>8} "
-                  f"{r['ms_per_token']:>8} "
-                  f"{r.get('token_agreement_vs_bf16', '-'):>7}")
+        for nb in args.num_beams:
+            for b in args.batch_sizes:
+                try:
+                    r = run_config(cfg, params, b, args.max_new_tokens,
+                                   kv == "int8", args.iters, mesh=mesh,
+                                   scores_int8=args.attn_scores == "int8",
+                                   num_beams=nb)
+                except Exception as e:
+                    logger.warning("config batch=%d kv=%s beams=%d failed: %s",
+                                   b, kv, nb, e)
+                    continue
+                rows.append(r)
+                print(f"{r['batch']:>6} {r['kv']:>5} {r['attn_scores']:>7} "
+                      f"{r['num_beams']:>6} {r['seconds_per_batch']:>9} "
+                      f"{r['rtfx']:>8} {r['ms_per_token']:>8} "
+                      f"{r.get('token_agreement_vs_bf16', '-'):>7}")
     report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
               "results": rows}
     if args.output:
