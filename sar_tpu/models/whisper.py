@@ -425,6 +425,11 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 # KV-cached decoding
 # ---------------------------------------------------------------------------
 
+def cross_pad_len(s: int) -> int:
+    """Cross-cache S rounded up to the 128-lane tile (fused-kernel block)."""
+    return -(-s // 128) * 128
+
+
 class DecodeCache(NamedTuple):
     """Static-shape KV cache for autoregressive decode.
 
@@ -433,12 +438,26 @@ class DecodeCache(NamedTuple):
     attention math (scores_s = scale_s * q.k_s; out = sum_s (p_s*vscale_s)
     v_s), so int8 halves the dominant memory traffic with no change to the
     softmax structure.
+
+    Cross K/V come in two layouts, told apart by cross_k.ndim:
+    - classic [L, B, H, S, hd] (ndim 5): what the exact jnp einsum paths
+      consume directly — the default.
+    - HEAD-MINOR [L, B, S_pad, H*hd] (ndim 4, S padded to a 128-aligned
+      S_pad, scales [L, B, H, S_pad], padded scales 0): one contiguous
+      lane-aligned [S_pad, D] slab per sample — exactly what the fused
+      s8-MXU Pallas decode kernel (ops/decode_cross.py) streams per grid
+      cell with a static (layer, batch) BlockSpec offset, with NO per-layer
+      slice/reshape buffer materialization. Built by
+      init_cache(cross_head_minor=True) — the `scores_int8` decode path.
+      (It is NOT the default because XLA can only consume it by physically
+      transposing each slab back per step — f32 576 MB temps at
+      whisper-small B=128.)
     """
     self_k: jnp.ndarray    # [L, B, H, max_len, hd] (compute dtype or int8)
     self_v: jnp.ndarray
-    cross_k: jnp.ndarray   # [L, B, H, S, hd] (bf16/fp32 or int8)
+    cross_k: jnp.ndarray   # [L,B,H,S,hd] or head-minor [L,B,S_pad,H*hd]
     cross_v: jnp.ndarray
-    cross_k_scale: jnp.ndarray | None = None  # [L, B, H, S] fp32 (int8 only)
+    cross_k_scale: jnp.ndarray | None = None  # [L,B,H,S] fp32 (int8 only)
     cross_v_scale: jnp.ndarray | None = None
     self_k_scale: jnp.ndarray | None = None   # [L, B, H, max_len] (int8 only)
     self_v_scale: jnp.ndarray | None = None
@@ -459,7 +478,8 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                lora_scale: float = 1.0,
                cross_kv_int8: bool = False,
                self_kv_int8: bool = False,
-               self_batch: int | None = None) -> DecodeCache:
+               self_batch: int | None = None,
+               cross_head_minor: bool = False) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
@@ -470,7 +490,7 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     sample's beams via `decode_step(beam_width=K)`) while the self cache
     holds B*K rows."""
     dec = params["decoder"]
-    B = enc_out.shape[0]
+    B, S = enc_out.shape[0], enc_out.shape[1]
     SB = self_batch if self_batch is not None else B
     H, hd = cfg.decoder_heads, cfg.d_model // cfg.decoder_heads
     dtype = enc_out.dtype
@@ -479,20 +499,40 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     def body(_, xs):
         p, lo = xs
         lo = lo or {}
-        k = split_heads(_proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5), H)
-        v = split_heads(_proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6), H)
+        k = _proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5)
+        v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6)
+        if cross_head_minor:
+            # [B, S, D]: the projection output as-is (no transpose) — see
+            # the DecodeCache layout note. Scales head-major [B, H, S].
+            kq, ks = quantize_kv(k.reshape(B, S, H, hd))
+            vq, vs = quantize_kv(v.reshape(B, S, H, hd))
+            return None, (kq.reshape(B, S, H * hd), ks.transpose(0, 2, 1),
+                          vq.reshape(B, S, H * hd), vs.transpose(0, 2, 1))
+        k = split_heads(k, H)
+        v = split_heads(v, H)
         if cross_kv_int8:
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
             return None, (kq, ks, vq, vs)
         return None, (k, v)
 
+    if cross_head_minor and not cross_kv_int8:
+        raise ValueError("cross_head_minor requires an int8 KV cache "
+                         "(cross_kv_int8=True): it is the fused s8-kernel "
+                         "layout")
     dec_lora = lora.get("decoder") if lora else None
     if cross_kv_int8:
         _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
     else:
         _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
         cks = cvs = None
+    if cross_head_minor:
+        pad = cross_pad_len(S) - S
+        if pad:
+            ck = jnp.pad(ck, [(0, 0), (0, 0), (0, pad), (0, 0)])
+            cv = jnp.pad(cv, [(0, 0), (0, 0), (0, pad), (0, 0)])
+            cks = jnp.pad(cks, [(0, 0), (0, 0), (0, 0), (0, pad)])
+            cvs = jnp.pad(cvs, [(0, 0), (0, 0), (0, 0), (0, pad)])
     L = ck.shape[0]
     self_dtype = jnp.int8 if self_kv_int8 else dtype
     return DecodeCache(
@@ -546,6 +586,66 @@ def _attention_int8_mxu(q, kq, ks, vq, vs, mask=None):
     out = jnp.einsum("bhqs,bhsd->bhqd", pq, vq,
                      preferred_element_type=jnp.int32).astype(jnp.float32)
     return (out * ps[..., None]).astype(q.dtype)
+
+
+def _cross_mask(scores, s_pad, s):
+    if s_pad == s:
+        return scores
+    valid = jnp.arange(s_pad) < s
+    return jnp.where(valid[None, None, None], scores,
+                     jnp.finfo(jnp.float32).min)
+
+
+def _split_sl(x, h):
+    """[B, S, H*hd] -> [B, S, H, hd] (free view inside the fusion)."""
+    B, S, D = x.shape
+    return x.reshape(B, S, h, D // h)
+
+
+def _cross_attention(qh, k, v, s):
+    """qh [B,H,Q,hd] x head-minor k/v [B,S_pad,H*hd] -> [B,H,Q,hd];
+    positions >= `s` (layout padding) are masked out."""
+    H = qh.shape[1]
+    k, v = _split_sl(k, H), _split_sl(v, H)
+    scores = jnp.einsum("bhqd,bshd->bhqs", qh, k,
+                        preferred_element_type=jnp.float32)
+    scores = _cross_mask(scores, k.shape[1], s)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(qh.dtype)
+    return jnp.einsum("bhqs,bshd->bhqd", probs, v)
+
+
+def _cross_attention_int8(qh, kq, ks, vq, vs, s):
+    """Head-minor int8 variant: kq/vq [B,S_pad,H*hd] int8, ks/vs [B,H,S_pad].
+    Same scale-factored math as _attention_int8 (see its docstring)."""
+    dtype = qh.dtype
+    H = qh.shape[1]
+    kq, vq = _split_sl(kq, H), _split_sl(vq, H)
+    scores = jnp.einsum("bhqd,bshd->bhqs", qh, kq.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :]
+    scores = _cross_mask(scores, kq.shape[1], s)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs[:, :, None, :]).astype(dtype)
+    return jnp.einsum("bhqs,bshd->bhqd", pw, vq.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _cross_attention_int8_mxu(qh, kq, ks, vq, vs, s):
+    """Head-minor layout twin of _attention_int8_mxu (q and probs quantized,
+    both contractions int8xint8->int32)."""
+    qq, qs = quantize_kv(qh)
+    H = qh.shape[1]
+    kq, vq = _split_sl(kq, H), _split_sl(vq, H)
+    scores = jnp.einsum("bhqd,bshd->bhqs", qq, kq,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = scores * qs[..., None] * ks[:, :, None, :]
+    scores = _cross_mask(scores, kq.shape[1], s)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = probs * vs[:, :, None, :]
+    pq, ps = quantize_kv(pw)
+    out = jnp.einsum("bhqs,bshd->bhqd", pq, vq,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    return (out * ps[..., None]).astype(qh.dtype)
 
 
 def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
@@ -617,7 +717,8 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
             a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
         x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
-        # Cross-attention against precomputed K/V (int8 path when quantized).
+        # Cross-attention against precomputed head-minor K/V ([B,S_pad,H,hd];
+        # int8 path when quantized).
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
         q = _proj(h, p["cross_q"], lo.get("cross_q"), ctx, 4) * scaling
         qh = split_heads(q, H)                          # [B, H, 1, hd]
@@ -627,15 +728,40 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             hd = qh.shape[-1]
             qh = (qh[:, :, 0].reshape(B // beam_width, beam_width, H, hd)
                   .transpose(0, 2, 1, 3))               # [B/K, H, K, hd]
-        if cache.cross_k_scale is not None:
-            a = attn_int8(qh, cache.cross_k[l], cache.cross_k_scale[l],
-                          cache.cross_v[l], cache.cross_v_scale[l])
+        S = cfg.max_source_positions
+        head_minor = cache.cross_k.ndim == 4
+        if (head_minor and scores_int8 and beam_width == 1
+                and jax.default_backend() == "tpu"):
+            # Fused s8-MXU kernel: both contractions stay int8 on the MXU
+            # and the slabs are never dequantized (ops/decode_cross.py). The
+            # FULL stacked cache is the operand; `layer` is a static
+            # BlockSpec offset (slicing here would copy the slab per step).
+            from sar_tpu.ops.decode_cross import cross_decode_attention
+            qq, qs = quantize_kv(qh)
+            o = cross_decode_attention(
+                qq[:, :, 0].reshape(B, -1), qs,
+                cache.cross_k, cache.cross_k_scale,
+                cache.cross_v, cache.cross_v_scale,
+                layer=l, n_heads=H, s_valid=S, out_dtype=dtype)
+            a_merged = o[:, None, :]                    # [B, 1, d_model]
         else:
-            a = attention(qh, cache.cross_k[l], cache.cross_v[l])
-        if beam_width > 1:
-            a = (a.transpose(0, 2, 1, 3)                # [B/K, K, H, hd]
-                 .reshape(B, H, hd)[:, :, None, :])     # [B, H, 1, hd]
-        x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), ctx, 7)
+            if head_minor:
+                # jnp twin of the kernel's math (CPU/tests; XLA pays a
+                # per-step slab transpose on this layout — small shapes only)
+                cross_fn = (_cross_attention_int8_mxu if scores_int8
+                            else _cross_attention_int8)
+                a = cross_fn(qh, cache.cross_k[l], cache.cross_k_scale[l],
+                             cache.cross_v[l], cache.cross_v_scale[l], S)
+            elif cache.cross_k_scale is not None:
+                a = attn_int8(qh, cache.cross_k[l], cache.cross_k_scale[l],
+                              cache.cross_v[l], cache.cross_v_scale[l])
+            else:
+                a = attention(qh, cache.cross_k[l], cache.cross_v[l])
+            if beam_width > 1:
+                a = (a.transpose(0, 2, 1, 3)            # [B/K, K, H, hd]
+                     .reshape(B, H, hd)[:, :, None, :])  # [B, H, 1, hd]
+            a_merged = merge_heads(a)
+        x = x + _proj(a_merged, p["cross_o"], lo.get("cross_o"), ctx, 7)
         # MLP.
         h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
         h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)

@@ -1,0 +1,151 @@
+"""Fused int8-MXU cross-attention decode kernel (Pallas, TPU).
+
+Why: the autoregressive decode step is bandwidth-bound on streaming the
+cross-attention K/V cache (S=1500 per layer) — at whisper-small batch 128 it
+is ~6 of the ~8 ms/token step (component profile, PARITY.md). XLA's int8
+path must dequantize the slabs to bf16 on the VPU before the MXU dots, and
+that conversion (~3.5e9 elements/step) sits on the critical path; XLA's
+s8 einsum (`scores_int8`) is slower still because it won't map an
+s8 GEMV onto the MXU. This kernel keeps the s8 tensors s8: both
+contractions run native int8 x int8 -> int32 on the MXU, and the only VPU
+work is on the tiny [H, S] score plane.
+
+How (one grid cell per batch row; everything stays 2-D for Mosaic):
+- the cache layout (whisper.DecodeCache) is head-minor [B, S_pad, H*hd]:
+  one contiguous lane-aligned slab per sample, scales head-major [H, S_pad].
+- queries (pre-quantized per head, [B, H*hd] s8 + [B, H, 1] f32 scales)
+  become a block-diagonal [H, D] matrix via iota masks — no transposes.
+- scores^T [H, S_pad] = Qrows @ K^T (s8 MXU, lane-contracted on both sides),
+  scaled by q/k scales, padding masked, softmax along lanes.
+- probs are folded with the V scales and re-quantized per head ([H,1]
+  scale), then P @ V (s8 MXU) -> [H, D]; the per-head diagonal [hd] blocks
+  are extracted with an iota mask + sublane reduction -> [1, D] out row.
+
+Numerics match whisper._cross_attention_int8_mxu (the jnp twin used on CPU
+and in interpret-mode parity tests): q and probs quantization make this an
+approximation of the exact-int8-KV path — it ships behind the same
+`scores_int8` opt-in, gated on the benchmark's token-agreement harness
+(PARITY.md known-deviations).
+
+The reference has no custom kernels (SURVEY.md §2); its decode is
+HF generate on torch/CUDA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # python float: jnp scalars would be captured consts in Pallas
+
+
+def _kernel(qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
+            *, n_heads: int, head_dim: int, s_valid: int):
+    H, hd = n_heads, head_dim
+    D = H * hd
+    S = kq_ref.shape[-2]
+
+    # Block-diagonal query rows: Qrows[h, 64h:64h+64] = q_h (s8). The
+    # select runs in f32 (i1 masks carry the (8,128) tile; selecting s8
+    # directly would need an unsupported (32,128) mask relayout) and the
+    # integer-valued result is then cast to s8.
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    qrows = jnp.where(col_head == row,
+                      jnp.broadcast_to(qq_ref[0].astype(jnp.float32), (H, D)),
+                      0.0).astype(jnp.int8)
+
+    # scores^T [H, S]: lane-contraction on both operands (A @ B^T), s8 MXU.
+    st = jax.lax.dot_general(qrows, kq_ref[0, 0], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    st = st.astype(jnp.float32) * qs_ref[0] * ks_ref[0, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
+    st = jnp.where(lane < s_valid, st, NEG)
+
+    m = jnp.max(st, axis=1, keepdims=True)
+    p = jnp.exp(st - m)
+    pw = (p / jnp.sum(p, axis=1, keepdims=True)) * vs_ref[0, 0]
+
+    # Re-quantize the weighted probs per head and run P @ V on the s8 MXU.
+    ps = jnp.maximum(jnp.max(jnp.abs(pw), axis=1, keepdims=True), 1e-8) / 127.0
+    pq = jnp.clip(jnp.round(pw / ps), -127, 127).astype(jnp.int8)
+    o = jax.lax.dot_general(pq, vq_ref[0, 0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * ps                      # [H, D]
+
+    # Keep each head's own [hd] block (col_head == row), fold to one row.
+    o = jnp.where(col_head == row, o, 0.0)
+    o_ref[0] = jnp.sum(o, axis=0, keepdims=True).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("layer", "n_heads", "s_valid",
+                                    "out_dtype", "interpret"))
+def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
+                           kq: jnp.ndarray, ks: jnp.ndarray,
+                           vq: jnp.ndarray, vs: jnp.ndarray,
+                           *, layer: int, n_heads: int, s_valid: int,
+                           out_dtype=jnp.bfloat16,
+                           interpret: bool = False) -> jnp.ndarray:
+    """One decode step of cross-attention for a whole batch.
+
+    qq [B, D] s8 (pre-quantized per head, pre-scaled q) + qs [B, H, 1] f32;
+    kq/vq [L, B, S_pad, D] s8 and ks/vs [L, B, H, S_pad] f32 are the FULL
+    stacked cache — `layer` picks the plane via a static BlockSpec offset,
+    so no per-layer slice/reshape buffer is ever materialized (feeding a
+    sliced operand to pallas_call would copy the 100s-of-MB slab every
+    step). Returns [B, D]. `s_valid` masks the layout padding.
+    """
+    B, D = qq.shape
+    H = n_heads
+    hd = D // H
+    S = kq.shape[2]
+    l = layer
+
+    kernel = functools.partial(_kernel, n_heads=H, head_dim=hd,
+                               s_valid=s_valid)
+    # q/out carry a singleton row axis so every block's trailing two dims
+    # match the array dims (the Pallas TPU block-shape rule).
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, H, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b: (l, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, S), lambda b: (l, b, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b: (l, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, S), lambda b: (l, b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(qq[:, None, :], qs, kq, ks, vq, vs)
+    return out[:, 0]
+
+
+def cross_decode_reference(qq, qs, kq, ks, vq, vs, *, layer, n_heads,
+                           s_valid, out_dtype=jnp.bfloat16):
+    """jnp reference with identical quantization points (parity tests)."""
+    kq, ks, vq, vs = kq[layer], ks[layer], vq[layer], vs[layer]
+    B, D = qq.shape
+    H = n_heads
+    hd = D // H
+    S = kq.shape[1]
+    qf = qq.reshape(B, H, hd).astype(jnp.float32) * qs      # [B, H, hd]
+    kf = kq.reshape(B, S, H, hd).astype(jnp.float32)
+    st = jnp.einsum("bhd,bshd->bhs", qf, kf) * ks
+    st = jnp.where(jnp.arange(S)[None, None] < s_valid, st, NEG)
+    p = jax.nn.softmax(st, axis=-1)
+    pw = p * vs
+    pscale = jnp.maximum(jnp.max(jnp.abs(pw), -1, keepdims=True), 1e-8) / 127.0
+    pqq = jnp.clip(jnp.round(pw / pscale), -127, 127)
+    vf = vq.reshape(B, S, H, hd).astype(jnp.float32)
+    o = jnp.einsum("bhs,bshd->bhd", pqq, vf) * pscale
+    return o.reshape(B, D).astype(out_dtype)

@@ -119,14 +119,17 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
 
     flash = jax.default_backend() == "tpu"
 
-    @jax.jit
-    def prep(params, audio):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,))
+    def prep(params, audio, head_minor):
         feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
                                             dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
         enc = whisper.encode(params, feats, cfg, flash=flash)
         return whisper.init_cache(params, enc, cfg, max_len=total,
-                                  cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
+                                  cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                                  cross_head_minor=head_minor)
 
     @jax.jit
     def prep_enc(params, audio):
@@ -134,8 +137,6 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
                                             dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
         return whisper.encode(params, feats, cfg, flash=flash)
-
-    from functools import partial
 
     @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
     def dec(params, cache, s_int8):
@@ -152,7 +153,9 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
     if num_beams > 1:
         run = lambda: dec_beam(params, prep_enc(params, audio))
     else:
-        run = lambda: dec(params, prep(params, audio), scores_int8)
+        # scores_int8 decodes from the head-minor (fused-kernel) cache.
+        run = lambda: dec(params, prep(params, audio, scores_int8),
+                          scores_int8)
 
     np.asarray(run())                       # compile + warm
     t0 = time.perf_counter()
@@ -168,9 +171,10 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
            "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
     if scores_int8 and num_beams == 1:
         # The gating harness: int8-MXU scores are an approximation (probs
-        # quantization); record token agreement vs bf16-scores decode.
-        a = np.asarray(dec(params, prep(params, audio), True))
-        b = np.asarray(dec(params, prep(params, audio), False))
+        # quantization); record token agreement vs the exact bf16-scores
+        # decode (classic cache layout).
+        a = np.asarray(dec(params, prep(params, audio, True), True))
+        b = np.asarray(dec(params, prep(params, audio, False), False))
         row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
     return row
 

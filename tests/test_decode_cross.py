@@ -1,0 +1,75 @@
+"""Fused s8-MXU cross-attention decode kernel: interpret-mode parity.
+
+The kernel (ops/decode_cross.py) must match its jnp reference exactly (same
+quantization points), and the reference must match the model-side jnp twin
+whisper._cross_attention_int8_mxu — the path `scores_int8` uses off-TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sar_tpu.models import whisper
+from sar_tpu.ops.decode_cross import (cross_decode_attention,
+                                      cross_decode_reference)
+
+L, B, H, hd, S, S_pad = 2, 3, 4, 64, 100, 128
+D = H * hd
+
+
+@pytest.fixture(scope="module")
+def data(rng=np.random.default_rng(7)):
+    k = rng.standard_normal((L, B, S_pad, H, hd)).astype(np.float32)
+    v = rng.standard_normal((L, B, S_pad, H, hd)).astype(np.float32)
+    k[:, :, S:] = 0.0
+    v[:, :, S:] = 0.0
+    kq, ks = whisper.quantize_kv(jnp.asarray(k))
+    vq, vs = whisper.quantize_kv(jnp.asarray(v))
+    ks = ks.transpose(0, 1, 3, 2).at[..., S:].set(0.0)   # [L, B, H, S_pad]
+    vs = vs.transpose(0, 1, 3, 2).at[..., S:].set(0.0)
+    qh = jnp.asarray(rng.standard_normal((B, H, 1, hd)), jnp.float32)
+    qq, qs = whisper.quantize_kv(qh)
+    return (qq[:, :, 0].reshape(B, D), qs,
+            kq.reshape(L, B, S_pad, D), ks,
+            vq.reshape(L, B, S_pad, D), vs, qh)
+
+
+@pytest.mark.parametrize("layer", [0, 1])
+def test_kernel_matches_reference(data, layer):
+    qq, qs, kq, ks, vq, vs, _ = data
+    got = cross_decode_attention(qq, qs, kq, ks, vq, vs, layer=layer,
+                                 n_heads=H, s_valid=S,
+                                 out_dtype=jnp.float32, interpret=True)
+    want = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=layer,
+                                  n_heads=H, s_valid=S,
+                                  out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_reference_matches_model_twin(data):
+    """Same math as the jnp path decode_step uses when scores_int8=True."""
+    qq, qs, kq, ks, vq, vs, qh = data
+    ref = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=0,
+                                 n_heads=H, s_valid=S,
+                                 out_dtype=jnp.float32)
+    # The model twin quantizes q itself from the float query.
+    twin = whisper._cross_attention_int8_mxu(qh, kq[0], ks[0], vq[0], vs[0], S)
+    twin = whisper.merge_heads(twin)[:, 0]               # [B, D]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(twin),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_close_to_exact_attention(data):
+    """Quantized-probs output stays within the documented few-% envelope of
+    the exact int8-KV attention."""
+    qq, qs, kq, ks, vq, vs, qh = data
+    got = cross_decode_attention(qq, qs, kq, ks, vq, vs, layer=0,
+                                 n_heads=H, s_valid=S,
+                                 out_dtype=jnp.float32, interpret=True)
+    exact = whisper._cross_attention_int8(qh, kq[0], ks[0], vq[0], vs[0], S)
+    exact = whisper.merge_heads(exact)[:, 0]
+    err = (np.abs(np.asarray(got) - np.asarray(exact)).max()
+           / max(np.abs(np.asarray(exact)).max(), 1e-6))
+    assert err < 0.05, f"relative error {err}"
