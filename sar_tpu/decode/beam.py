@@ -80,7 +80,7 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
                                self_batch=B * K,
-                               cross_head_minor=scores_int8)
+                               head_minor=scores_int8)
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)

@@ -56,7 +56,7 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
                                # head-minor slabs feed the fused s8 kernel
-                               cross_head_minor=scores_int8)
+                               head_minor=scores_int8)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, scores_int8=scores_int8,

@@ -448,10 +448,13 @@ class DecodeCache(NamedTuple):
       s8-MXU Pallas decode kernel (ops/decode_cross.py) streams per grid
       cell with a static (layer, batch) BlockSpec offset, with NO per-layer
       slice/reshape buffer materialization. Built by
-      init_cache(cross_head_minor=True) — the `scores_int8` decode path.
+      init_cache(head_minor=True) — the `scores_int8` decode path.
       (It is NOT the default because XLA can only consume it by physically
       transposing each slab back per step — f32 576 MB temps at
       whisper-small B=128.)
+    The self cache is always classic [L, B, H, max_len, hd]: the fused
+    head-minor self kernel exists (ops/decode_self.py) but measured
+    per-call-overhead-bound — see the note in init_cache.
     """
     self_k: jnp.ndarray    # [L, B, H, max_len, hd] (compute dtype or int8)
     self_v: jnp.ndarray
@@ -479,7 +482,7 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                cross_kv_int8: bool = False,
                self_kv_int8: bool = False,
                self_batch: int | None = None,
-               cross_head_minor: bool = False) -> DecodeCache:
+               head_minor: bool = False) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
@@ -501,7 +504,7 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         lo = lo or {}
         k = _proj(enc_out, p["cross_k"], lo.get("cross_k"), ctx, 5)
         v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), ctx, 6)
-        if cross_head_minor:
+        if head_minor:
             # [B, S, D]: the projection output as-is (no transpose) — see
             # the DecodeCache layout note. Scales head-major [B, H, S].
             kq, ks = quantize_kv(k.reshape(B, S, H, hd))
@@ -516,17 +519,17 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
             return None, (kq, ks, vq, vs)
         return None, (k, v)
 
-    if cross_head_minor and not cross_kv_int8:
-        raise ValueError("cross_head_minor requires an int8 KV cache "
-                         "(cross_kv_int8=True): it is the fused s8-kernel "
-                         "layout")
+    if head_minor and not (cross_kv_int8 and self_kv_int8):
+        raise ValueError("head_minor requires an int8 KV cache "
+                         "(cross_kv_int8 and self_kv_int8): it is the fused "
+                         "s8-kernel layout")
     dec_lora = lora.get("decoder") if lora else None
     if cross_kv_int8:
         _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
     else:
         _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
         cks = cvs = None
-    if cross_head_minor:
+    if head_minor:
         pad = cross_pad_len(S) - S
         if pad:
             ck = jnp.pad(ck, [(0, 0), (0, 0), (0, pad), (0, 0)])
@@ -535,6 +538,11 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
             cvs = jnp.pad(cvs, [(0, 0), (0, 0), (0, 0), (0, pad)])
     L = ck.shape[0]
     self_dtype = jnp.int8 if self_kv_int8 else dtype
+    # The self cache stays CLASSIC even under head_minor: a fused head-minor
+    # self kernel (ops/decode_self.py) measured per-call-overhead-bound —
+    # its slabs are ~6x smaller than the cross slabs, so the pallas grid
+    # overhead exceeds the dequant savings (1.54 ms/call vs the jnp path's
+    # ~0.17 ms/layer at whisper-small B=128).
     return DecodeCache(
         self_k=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
         self_v=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
@@ -648,6 +656,43 @@ def _cross_attention_int8_mxu(qh, kq, ks, vq, vs, s):
     return (out * ps[..., None]).astype(qh.dtype)
 
 
+def _self_attention_int8_hm(qh, kq, ks, vq, vs, valid):
+    """Exact int8 self-attention over the head-minor cache: qh [B,H,Q,hd],
+    kq/vq [B,max_len,H*hd] s8, ks/vs [B,H,max_len]; `valid` is the traced
+    number of live positions (pos+1)."""
+    dtype = qh.dtype
+    H = qh.shape[1]
+    kq, vq = _split_sl(kq, H), _split_sl(vq, H)
+    scores = jnp.einsum("bhqd,bshd->bhqs", qh, kq.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :]
+    mask = jnp.arange(kq.shape[1])[None, None, None] < valid
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs[:, :, None, :]).astype(dtype)
+    return jnp.einsum("bhqs,bshd->bhqd", pw, vq.astype(dtype),
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def _self_attention_int8_mxu_hm(qh, kq, ks, vq, vs, valid):
+    """Head-minor self twin of the fused s8 kernel's math (q and probs
+    quantized, both contractions int8xint8->int32; CPU/test path)."""
+    qq, qs = quantize_kv(qh)
+    H = qh.shape[1]
+    kq, vq = _split_sl(kq, H), _split_sl(vq, H)
+    scores = jnp.einsum("bhqd,bshd->bhqs", qq, kq,
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+    scores = scores * qs[..., None] * ks[:, :, None, :]
+    mask = jnp.arange(kq.shape[1])[None, None, None] < valid
+    scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = probs * vs[:, :, None, :]
+    pq, ps = quantize_kv(pw)
+    out = jnp.einsum("bhqs,bshd->bhqd", pq, vq,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+    return (out * ps[..., None]).astype(qh.dtype)
+
+
 def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 cache: DecodeCache, cfg: WhisperConfig, *,
                 lora: Params | None = None,
@@ -701,9 +746,10 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         # Self-attention against the cache.
         h = layer_norm(x, p["self_ln"]["scale"], p["self_ln"]["bias"])
         q = _proj(h, p["self_q"], lo.get("self_q"), ctx, 0) * scaling
-        k = split_heads(_proj(h, p["self_k"], lo.get("self_k"), ctx, 1), H)
-        v = split_heads(_proj(h, p["self_v"], lo.get("self_v"), ctx, 2), H)
+        kf = _proj(h, p["self_k"], lo.get("self_k"), ctx, 1)  # [B, 1, D]
+        vf = _proj(h, p["self_v"], lo.get("self_v"), ctx, 2)
         if self_int8:
+            k, v = split_heads(kf, H), split_heads(vf, H)
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
             sk_all = jax.lax.dynamic_update_slice(sk_all, kq[None], (l, 0, 0, pos, 0))
@@ -712,11 +758,14 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             svs_all = jax.lax.dynamic_update_slice(svs_all, vs[None], (l, 0, 0, pos))
             a = attn_int8(split_heads(q, H), sk_all[l], sks_all[l],
                           sv_all[l], svs_all[l], mask=pos_mask)
+            a_self = merge_heads(a)
         else:
+            k, v = split_heads(kf, H), split_heads(vf, H)
             sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
             sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
             a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
-        x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), ctx, 3)
+            a_self = merge_heads(a)
+        x = x + _proj(a_self, p["self_o"], lo.get("self_o"), ctx, 3)
         # Cross-attention against precomputed head-minor K/V ([B,S_pad,H,hd];
         # int8 path when quantized).
         h = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])

@@ -21,17 +21,23 @@ _lib = None
 _tried = False
 
 
+_SOURCES = ("edit_distance.cpp", "resample.cpp")
+
+
 def _load():
     global _lib, _tried
     if _tried:
         return _lib
     _tried = True
-    src = _NATIVE_DIR / "edit_distance.cpp"
+    srcs = [_NATIVE_DIR / s for s in _SOURCES]
     try:
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        stale = (not _LIB_PATH.exists()
+                 or any(_LIB_PATH.stat().st_mtime < s.stat().st_mtime
+                        for s in srcs))
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", str(_LIB_PATH), str(src)],
+                 "-o", str(_LIB_PATH)] + [str(s) for s in srcs],
                 check=True, capture_output=True, timeout=120)
             logger.info("built %s", _LIB_PATH)
         lib = ctypes.CDLL(str(_LIB_PATH))
@@ -44,9 +50,15 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.resample_poly_f32.restype = ctypes.c_int64
+        lib.resample_poly_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
         _lib = lib
     except Exception as e:  # no compiler / unwritable dir -> numpy fallback
-        logger.info("native edit distance unavailable (%s); using numpy", e)
+        logger.info("native components unavailable (%s); using numpy", e)
         _lib = None
     return _lib
 
@@ -79,3 +91,23 @@ def batch_edit_distance(a_seqs: list[np.ndarray],
         b_flat.ctypes.data_as(i32p), b_off.ctypes.data_as(i64p),
         len(a_seqs), out.ctypes.data_as(i64p))
     return out
+
+
+def resample_poly(audio: np.ndarray, taps: np.ndarray, L: int,
+                  M: int) -> np.ndarray | None:
+    """Polyphase rational resample (native/resample.cpp): computes
+    `convolve(zero_stuff_L(audio) * L, taps, "same")[::M]` touching only the
+    ~n_taps/L taps that overlap each output sample. None if the native lib
+    is missing (callers fall back to the numpy convolution)."""
+    lib = _load()
+    if lib is None:
+        return None
+    audio = np.ascontiguousarray(audio, np.float32)
+    taps = np.ascontiguousarray(taps, np.float64)
+    n_out = (len(audio) * L + M - 1) // M
+    out = np.empty(n_out, np.float32)
+    wrote = lib.resample_poly_f32(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(audio),
+        taps.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(taps),
+        L, M, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out)
+    return out if wrote == n_out else None

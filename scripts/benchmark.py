@@ -129,7 +129,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         enc = whisper.encode(params, feats, cfg, flash=flash)
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
-                                  cross_head_minor=head_minor)
+                                  head_minor=head_minor)
 
     @jax.jit
     def prep_enc(params, audio):
