@@ -96,25 +96,29 @@ class StreamingTranscriber:
         self._last_hyp: list[int] | None = None
         self._segments: list[str] = []      # rolled-over windows' text
 
+    @property
+    def _commit_cap(self) -> int:
+        """Committed ids never exceed capacity-1, so the forced prefix always
+        covers the WHOLE committed transcript (a truncated forced prefix
+        could be re-generated differently and retract committed text)."""
+        return self._total - self._p0 - 1
+
     # -- internals -----------------------------------------------------
     def _decode_window(self, audio: np.ndarray) -> list[int]:
         """One compiled update: returns the window's generated ids (the
         forced committed prefix followed by fresh greedy continuation)."""
-        window = np.zeros((1, self.window_samples), np.float32)
-        window[0, :len(audio)] = audio[:self.window_samples]
-        # Committed ids are forced through the loop; leave >=1 free slot.
-        committed = self._committed[:self._total - self._p0 - 1]
+        from sar_tpu.decode import transcribe_tokens
+        window = mel_ops.stack_pad_audio([audio], self.window_samples)
+        # feed() keeps _committed <= cap; the slice only guards the
+        # feed-after-finalize() edge (finalize commits the full hypothesis).
+        committed = self._committed[:self._commit_cap]
         buf = np.full((1, self._total), self.cfg.eos_token_id, np.int32)
         buf[0, :self._p0] = self._prompt
         buf[0, self._p0:self._p0 + len(committed)] = committed
         plen = jnp.int32(self._p0 + len(committed))
         cache = self._prep(self.params, jnp.asarray(window))
         tokens = self._dec(self.params, cache, jnp.asarray(buf), plen)
-        row = np.asarray(tokens)[0, self._p0:]
-        eos_pos = np.nonzero(row == self.cfg.eos_token_id)[0]
-        if eos_pos.size:
-            row = row[:eos_pos[0]]
-        return row.tolist()
+        return transcribe_tokens(tokens, self.cfg, prompt_len=self._p0)[0]
 
     def _rollover(self) -> None:
         """Window full: commit its final hypothesis and start a new one."""
@@ -135,15 +139,19 @@ class StreamingTranscriber:
         hyp = self._decode_window(self._audio)
         if self._last_hyp is not None:
             # LocalAgreement-2: commit what two consecutive hypotheses
-            # agree on. Both start with the forced committed prefix, so
-            # the committed text never shrinks.
-            self._committed = hyp[:common_prefix_len(self._last_hyp, hyp)]
+            # agree on. Both start with the (fully) forced committed
+            # prefix, so the committed text never shrinks; the cap keeps
+            # the NEXT forced prefix full-coverage too.
+            agree = common_prefix_len(self._last_hyp, hyp)
+            self._committed = hyp[:min(agree, self._commit_cap)]
         self._last_hyp = hyp
         return self.text
 
     def finalize(self) -> str:
         """Flush: the current window's final hypothesis is committed."""
         if self._last_hyp is None:
+            if len(self._audio) == 0:
+                return self.text      # nothing fed: don't decode silence
             self._last_hyp = self._decode_window(self._audio)
         self._committed = self._last_hyp
         return self.text

@@ -94,6 +94,27 @@ def test_committed_text_is_monotonic(setup, rng):
     assert st._committed[:len(prev)] == prev
 
 
+def test_finalize_without_audio_returns_empty(setup):
+    """finalize() on a fresh/reset stream must not decode the silent
+    zero window (real checkpoints hallucinate on silence)."""
+    cfg, params, tok = setup
+    st = _stream(cfg, params, tok)
+    assert st.finalize() == ""
+    assert st._last_hyp is None            # no decode happened
+
+
+def test_feed_after_finalize_does_not_crash(setup, rng):
+    """finalize() commits the full hypothesis (may exceed the forced-prefix
+    cap); a later feed must cap it instead of overflowing the buffer."""
+    cfg, params, tok = setup
+    st = _stream(cfg, params, tok)
+    st.feed(rng.standard_normal(st.window_samples // 2).astype(np.float32))
+    st.finalize()
+    st._committed = list(range(st._total))  # worst case: over-long commit
+    st.feed(rng.standard_normal(st.window_samples // 4).astype(np.float32))
+    assert isinstance(st.text, str)
+
+
 def test_window_rollover(setup, rng):
     cfg, params, tok = setup
     st = _stream(cfg, params, tok)
