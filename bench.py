@@ -71,7 +71,8 @@ def main():
     # program slows the loop ~1.5x (see sar_tpu.decode.greedy docstring).
     # Blockwise (flash) encoder attention on TPU: no [1500, 1500] fp32 score
     # materialization (whisper-large B=32 OOMed on exactly that).
-    flash = jax.default_backend() == "tpu"
+    # "hm" = head-minor fwd kernel (no transposes around the pallas call)
+    flash = "hm" if jax.default_backend() == "tpu" else False
 
     @jax.jit
     def prep(params, audio):

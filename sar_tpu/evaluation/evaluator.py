@@ -50,8 +50,10 @@ class ASREvaluator:
         # Blockwise (flash) encoder attention: avoids the [1500, 1500] fp32
         # score materialization that OOMed whisper-large at batch 32.
         # "auto" = on for TPU backends (the Pallas kernel has no CPU build).
-        self.flash = (jax.default_backend() == "tpu" if flash == "auto"
-                      else bool(flash))
+        # "auto" -> the head-minor fwd kernel on TPU (fastest; encode
+        # docstring covers the variants), exact jnp attention on CPU.
+        self.flash = (("hm" if jax.default_backend() == "tpu" else False)
+                      if flash == "auto" else flash)
         # Optional DPxTP mesh: weights tensor-parallel over "model", batches
         # over "data" — the ICI-sharded whisper-large batch-inference path
         # (BASELINE config #5). Partial batches are padded to the data axis.

@@ -65,8 +65,8 @@ class StreamingTranscriber:
         self._p0 = len(prompt)
         self._total = min(self._p0 + max_new_tokens, cfg.max_target_positions)
         self._prompt = np.asarray(prompt, np.int32)
-        use_flash = (jax.default_backend() == "tpu" if flash == "auto"
-                     else bool(flash))
+        use_flash = (("hm" if jax.default_backend() == "tpu" else False)
+                     if flash == "auto" else flash)
 
         def prep(params, audio):
             dtype = jax.tree.leaves(params)[0].dtype

@@ -245,16 +245,27 @@ def _mha(q, k, v, mask=None, *, causal=False, flash=False):
     return attention(q, k, v, mask)
 
 
-def _enc_layer_apply(x, p, lora, ctx, num_heads, flash=False):
+def _enc_layer_apply(x, p, lora, ctx, num_heads, flash=False, t_valid=None):
     lo = lora or {}
     scaling = (x.shape[-1] // num_heads) ** -0.5
     h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     q = _proj(h, p["q"], lo.get("q"), ctx, 0) * scaling
     k = _proj(h, p["k"], lo.get("k"), ctx, 1)
     v = _proj(h, p["v"], lo.get("v"), ctx, 2)
-    a = _mha(split_heads(q, num_heads), split_heads(k, num_heads),
-             split_heads(v, num_heads), flash=flash)
-    x = x + _proj(merge_heads(a), p["o"], lo.get("o"), ctx, 3)
+    if flash == "hm":
+        # Head-minor kernel consumes the residual-stream layout directly —
+        # no split/merge transposes (and none of the relayout copies XLA
+        # inserts between a transpose and a pallas_call). Inference-only
+        # (no VJP); `x` is padded to the kernel's T and key columns
+        # >= t_valid are masked inside.
+        from sar_tpu.ops.flash_enc import encoder_attention_hm
+        a_m = encoder_attention_hm(q, k, v, n_heads=num_heads,
+                                   t_valid=t_valid)
+    else:
+        a = _mha(split_heads(q, num_heads), split_heads(k, num_heads),
+                 split_heads(v, num_heads), flash=flash)
+        a_m = merge_heads(a)
+    x = x + _proj(a_m, p["o"], lo.get("o"), ctx, 3)
     h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
     h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
     x = x + linear(h, p["fc2"])
@@ -293,8 +304,14 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
            lora: Params | None = None, adapter_idx: jnp.ndarray | None = None,
            lora_scale: float = 1.0, lora_dropout: float = 0.0,
            dropout_rng: jax.Array | None = None,
-           remat: bool = False, flash: bool = False) -> jnp.ndarray:
-    """Encoder forward. mel: [B, num_mel_bins, T_frames] -> [B, T/2, d]."""
+           remat: bool = False,
+           flash: bool | str = False) -> jnp.ndarray:
+    """Encoder forward. mel: [B, num_mel_bins, T_frames] -> [B, T/2, d].
+
+    flash: False = exact jnp attention ([T, T] probs materialized);
+    True = blockwise Pallas kernel (ops/flash.py, fwd + fused VJP — the
+    training path); "hm" = head-minor forward kernel (ops/flash_enc.py,
+    inference-only, fastest: no transposes around the kernel)."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                                   # [B, T, M]
     dtype = enc["conv1"]["w"].dtype
@@ -312,18 +329,26 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
     T = x.shape[1]
     x = x + enc["pos_embed"][:T].astype(dtype)
 
+    pad = cross_pad_len(T) - T if flash == "hm" else 0
+    if pad:
+        # The hm kernel runs on a 128-aligned T; padded rows carry garbage
+        # that masked keys keep out of real rows, sliced off at the end.
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+
     ctx = LoraCtx(adapter_idx, lora_scale, lora_dropout, dropout_rng)
     enc_lora = lora.get("encoder") if lora else None
 
     def body(carry, xs):
         p, lo, li = xs
         y = _enc_layer_apply(carry, p, lo, _layer_ctx(ctx, li),
-                             cfg.encoder_heads, flash=flash)
+                             cfg.encoder_heads, flash=flash, t_valid=T)
         return y, None
 
     body = _remat(body, remat, flash)
     x, _ = jax.lax.scan(body, x, (enc["layers"], enc_lora,
                                   jnp.arange(cfg.encoder_layers)))
+    if pad:
+        x = x[:, :T]
     return layer_norm(x, enc["ln"]["scale"], enc["ln"]["bias"])
 
 

@@ -117,7 +117,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         from jax.sharding import NamedSharding, PartitionSpec as P
         audio = jax.device_put(audio, NamedSharding(mesh, P("data", None)))
 
-    flash = jax.default_backend() == "tpu"
+    flash = "hm" if jax.default_backend() == "tpu" else False
 
     from functools import partial
 
