@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Transcribe audio files from the command line.
+
+The reference has no single-file transcription surface at all — its only
+inference entry points are the batch evaluator and the router script
+(/root/reference/scripts/evaluate_model.py, inference.py); transcribing one
+file meant writing Python against transcribe_audio
+(/root/reference/src/evaluation/__init__.py:172-220). This CLI covers that
+plus the capabilities the reference lacks entirely:
+
+- default: 30 s window, compiled KV-cached greedy decode
+- --num_beams N: compiled beam search
+- --longform: arbitrary-length audio via chunked transcription
+  (sar_tpu.evaluation.longform; auto-selected for clips > 30 s)
+- --streaming: simulate a live stream from the file, printing the committed
+  transcript as it grows (sar_tpu.evaluation.streaming)
+- --checkpoint: apply a trained LoRA adapter
+"""
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("transcribe")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Transcribe audio files")
+    p.add_argument("audio", nargs="+", help="Audio files (wav; other "
+                   "formats need soundfile)")
+    p.add_argument("--model", type=str, default="whisper-small")
+    p.add_argument("--language", type=str, default="hindi")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="LoRA adapter dir (train_lora.py output)")
+    p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--longform", action="store_true",
+                   help="Chunked transcription (auto for clips > 30 s)")
+    p.add_argument("--chunk_seconds", type=float, default=30.0)
+    p.add_argument("--overlap_seconds", type=float, default=0.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="Feed the file as a live stream; print committed "
+                        "text incrementally")
+    p.add_argument("--stream_chunk_seconds", type=float, default=1.0)
+    p.add_argument("--output", type=str, default=None,
+                   help="Write {file: transcript} JSON here")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax.numpy as jnp
+
+    from sar_tpu.data.preprocessing import load_audio
+    from sar_tpu.data.tokenizer import get_tokenizer
+    from sar_tpu.models import lora as lora_lib
+    from sar_tpu.models.base import load_base_model
+    from sar_tpu.ops import mel as mel_ops
+
+    cfg, params = load_base_model(args.model, dtype=jnp.bfloat16)
+    tokenizer = get_tokenizer(args.model, language=args.language)
+    lora = None
+    lora_scale = 1.0
+    if args.checkpoint:
+        ckpt = Path(args.checkpoint)
+        adapter = ckpt / "adapter" if (ckpt / "adapter").exists() else ckpt
+        lora, lcfg, _ = lora_lib.load_adapter(adapter)
+        lora_scale = lcfg.scale
+        logger.info("adapter %s (r=%d alpha=%d)", adapter, lcfg.r, lcfg.alpha)
+
+    results = {}
+    for path in args.audio:
+        audio = load_audio(path)
+        seconds = len(audio) / mel_ops.SAMPLE_RATE
+        t0 = time.perf_counter()
+        if args.streaming:
+            from sar_tpu.evaluation.streaming import StreamingTranscriber
+            st = StreamingTranscriber(cfg, params, tokenizer,
+                                      language=args.language,
+                                      max_new_tokens=args.max_new_tokens,
+                                      lora=lora, lora_scale=lora_scale)
+            step = int(args.stream_chunk_seconds * mel_ops.SAMPLE_RATE)
+            shown = ""
+            for s in range(0, len(audio), step):
+                text = st.feed(audio[s:s + step])
+                if text != shown:           # print only newly committed text
+                    print(text[len(shown):], end="", flush=True)
+                    shown = text
+            text = st.finalize()
+            print(text[len(shown):])
+        elif args.longform or seconds > mel_ops.CHUNK_SECONDS:
+            from sar_tpu.evaluation.longform import transcribe_long
+            text = transcribe_long(audio, cfg, params, tokenizer,
+                                   language=args.language,
+                                   max_new_tokens=args.max_new_tokens,
+                                   chunk_seconds=args.chunk_seconds,
+                                   overlap_seconds=args.overlap_seconds,
+                                   lora=lora, lora_scale=lora_scale)
+            print(text)
+        elif args.num_beams > 1:
+            from sar_tpu.decode import transcribe_tokens
+            from sar_tpu.decode.beam import beam_decode
+            from sar_tpu.models import whisper
+            import jax
+            padded = mel_ops.stack_pad_audio([audio])
+            feats = mel_ops.log_mel_spectrogram(
+                jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
+            feats = feats[:, :, :cfg.num_audio_frames]
+            enc = whisper.encode(params, feats, cfg, lora=lora,
+                                 lora_scale=lora_scale)
+            prompt = jnp.asarray(cfg.prompt_ids(args.language), jnp.int32)
+            tokens = beam_decode(params, enc, cfg, prompt,
+                                 num_beams=args.num_beams,
+                                 max_new_tokens=args.max_new_tokens,
+                                 lora=lora, lora_scale=lora_scale)
+            ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
+            text = tokenizer.decode(ids[0])
+            print(text)
+        else:
+            from sar_tpu.evaluation.evaluator import transcribe_audio
+            text = transcribe_audio(audio, cfg, params, tokenizer,
+                                    language=args.language,
+                                    max_new_tokens=args.max_new_tokens,
+                                    lora=lora, lora_scale=lora_scale)
+            print(text)
+        dt = time.perf_counter() - t0
+        logger.info("%s: %.1f s audio in %.2f s (%.1fx real-time)",
+                    path, seconds, dt, seconds / max(dt, 1e-9))
+        results[path] = text
+    if args.output:
+        Path(args.output).write_text(json.dumps(results, indent=2,
+                                                ensure_ascii=False))
+        logger.info("wrote %s", args.output)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""scripts/transcribe.py end-to-end: single-shot, beam, longform, streaming
+modes over a generated wav file (whisper-test random weights — exercises
+the machinery, not transcription quality)."""
+
+import json
+import sys
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from sar_tpu.ops import mel as mel_ops  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def wav(tmp_path_factory, rng=np.random.default_rng(0)):
+    """3 s of band-limited noise as 16 kHz 16-bit wav."""
+    path = tmp_path_factory.mktemp("audio") / "clip.wav"
+    samples = (rng.standard_normal(3 * mel_ops.SAMPLE_RATE) * 3000)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(mel_ops.SAMPLE_RATE)
+        w.writeframes(samples.astype(np.int16).tobytes())
+    return str(path)
+
+
+def test_transcribe_single_and_output(wav, tmp_path):
+    import transcribe
+    out = tmp_path / "out.json"
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8",
+                               "--output", str(out)])
+    assert set(results) == {wav}
+    assert isinstance(results[wav], str)
+    assert json.loads(out.read_text())[wav] == results[wav]
+
+
+def test_transcribe_beam(wav):
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8",
+                               "--num_beams", "2"])
+    assert isinstance(results[wav], str)
+
+
+def test_transcribe_longform_flag(wav):
+    import transcribe
+    # Force the chunked path on a short clip via small chunks.
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8", "--longform",
+                               "--chunk_seconds", "1.0"])
+    assert isinstance(results[wav], str)
+
+
+def test_transcribe_streaming(wav, capsys):
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8", "--streaming",
+                               "--stream_chunk_seconds", "1.0"])
+    assert isinstance(results[wav], str)
+    # The final committed transcript is what main() returns/prints.
+    assert capsys.readouterr().out.strip().endswith(results[wav].strip()) \
+        or results[wav] == ""
