@@ -29,6 +29,11 @@ REFERENCE_RTFX_A100_EST = 50.0
 V5E_HBM_GBPS = 819.0     # v5e ("TPU v5 lite") HBM peak bandwidth
 MODEL = os.environ.get("BENCH_MODEL", "whisper-small")
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# BENCH_SCORES=int8 opts into the fused s8-MXU attention kernel
+# (approximate: q/probs quantized; agreement 1.0 at these shapes on random
+# weights — see scripts/benchmark.py's gating harness). Default stays the
+# exact bf16-compute int8-KV path.
+SCORES_INT8 = os.environ.get("BENCH_SCORES", "") == "int8"
 MAX_NEW_TOKENS = 256
 ITERS = 3
 
@@ -39,7 +44,12 @@ def decode_bytes_per_step(params, cache, total, kv_int8):
     loop: total/2), and every decoder weight incl. the logits embedding."""
     import jax
     from sar_tpu.models.whisper import param_count
-    L, B, H, S, hd = cache.cross_k.shape
+    if cache.cross_k.ndim == 4:                           # head-minor layout
+        L, B, S, D = cache.cross_k.shape
+        H = cache.cross_k_scale.shape[2]
+        hd = D // H
+    else:
+        L, B, H, S, hd = cache.cross_k.shape
     kv_bytes = 1 if kv_int8 else 2
     cross = 2 * L * B * H * S * hd * kv_bytes
     if kv_int8:
@@ -83,7 +93,8 @@ def main():
         # 99.97% token agreement vs bf16 measured on random weights (worst
         # case for tie-breaking).
         return whisper.init_cache(params, enc, cfg, max_len=total,
-                                  cross_kv_int8=True, self_kv_int8=True)
+                                  cross_kv_int8=True, self_kv_int8=True,
+                                  head_minor=SCORES_INT8)
 
     # The cache is donated to the decode loop: the prep output and the loop's
     # working cache never coexist in HBM (whisper-large B=32 used to OOM on
@@ -93,7 +104,8 @@ def main():
 
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache):
-        return greedy_decode_from_cache(params, cache, cfg, prompt)
+        return greedy_decode_from_cache(params, cache, cfg, prompt,
+                                        scores_int8=SCORES_INT8)
 
     def transcribe(params, audio):
         return decode(params, prep(params, audio))
@@ -133,8 +145,10 @@ def main():
     steps = total - 1   # random weights never emit EOS: full-length decode
     hbm_gbps = bytes_per_step * steps / decode_s / 1e9
     print(json.dumps({
-        "metric": f"{MODEL} greedy transcription RTFx (bf16 + int8 KV cache, "
-                  f"batch {BATCH}, 256 new tokens, mel+encode+decode end-to-end)",
+        "metric": f"{MODEL} greedy transcription RTFx "
+                  f"({'s8-MXU attention' if SCORES_INT8 else 'bf16'} + int8 "
+                  f"KV cache, batch {BATCH}, 256 new tokens, "
+                  f"mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),
         "unit": "audio-sec/sec",
         "vs_baseline": round(rtfx / REFERENCE_RTFX_A100_EST, 3),

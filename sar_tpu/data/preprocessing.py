@@ -53,7 +53,13 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         return out
     up = np.zeros(len(audio) * L, np.float64)
     up[::L] = audio.astype(np.float64) * L
-    return np.convolve(up, taps, mode="same")[::M].astype(np.float32)
+    # "full" + centered slice rather than mode="same": np.convolve("same")
+    # returns max(len(up), len(taps)) samples, so for inputs shorter than
+    # the filter it would DISAGREE with the native path in length; this
+    # slice matches it for every input length.
+    half = (len(taps) - 1) // 2
+    full = np.convolve(up, taps, mode="full")
+    return full[half:half + len(up):M].astype(np.float32)
 
 
 class AudioPreprocessor:

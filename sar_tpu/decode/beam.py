@@ -75,12 +75,15 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     # per row instead of K x the cross reads. Only the self cache and the
     # adapter indices are beam-expanded to [B*K, ...].
     idx_k = None if adapter_idx is None else jnp.repeat(adapter_idx, K, axis=0)
+    # Always the classic cache layout: the fused head-minor kernel serves
+    # only beam_width == 1, and the head-minor jnp fallback pays a per-step
+    # slab transpose (DecodeCache docstring) — scores_int8 under beams uses
+    # the classic-layout s8 einsum path instead.
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
-                               self_batch=B * K,
-                               head_minor=scores_int8)
+                               self_batch=B * K)
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)

@@ -621,33 +621,22 @@ def _attention_int8_mxu(q, kq, ks, vq, vs, mask=None):
     return (out * ps[..., None]).astype(q.dtype)
 
 
-def _cross_mask(scores, s_pad, s):
-    if s_pad == s:
-        return scores
-    valid = jnp.arange(s_pad) < s
-    return jnp.where(valid[None, None, None], scores,
-                     jnp.finfo(jnp.float32).min)
-
-
 def _split_sl(x, h):
     """[B, S, H*hd] -> [B, S, H, hd] (free view inside the fusion)."""
     B, S, D = x.shape
     return x.reshape(B, S, h, D // h)
 
 
-def _cross_attention(qh, k, v, s):
-    """qh [B,H,Q,hd] x head-minor k/v [B,S_pad,H*hd] -> [B,H,Q,hd];
-    positions >= `s` (layout padding) are masked out."""
-    H = qh.shape[1]
-    k, v = _split_sl(k, H), _split_sl(v, H)
-    scores = jnp.einsum("bhqd,bshd->bhqs", qh, k,
-                        preferred_element_type=jnp.float32)
-    scores = _cross_mask(scores, k.shape[1], s)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(qh.dtype)
-    return jnp.einsum("bhqs,bshd->bhqd", probs, v)
+def _scale_mask(scores, ks):
+    """Mask head-minor layout padding: padded positions carry key scale 0,
+    real scales are strictly positive (quantize_kv floors amax at 1e-8).
+    Keying the mask on the scales — not on a static length — stays correct
+    for any true encoder length the cache was built from."""
+    return jnp.where(ks[:, :, None, :] > 0, scores,
+                     jnp.finfo(jnp.float32).min)
 
 
-def _cross_attention_int8(qh, kq, ks, vq, vs, s):
+def _cross_attention_int8(qh, kq, ks, vq, vs):
     """Head-minor int8 variant: kq/vq [B,S_pad,H*hd] int8, ks/vs [B,H,S_pad].
     Same scale-factored math as _attention_int8 (see its docstring)."""
     dtype = qh.dtype
@@ -656,14 +645,14 @@ def _cross_attention_int8(qh, kq, ks, vq, vs, s):
     scores = jnp.einsum("bhqd,bshd->bhqs", qh, kq.astype(dtype),
                         preferred_element_type=jnp.float32)
     scores = scores * ks[:, :, None, :]
-    scores = _cross_mask(scores, kq.shape[1], s)
+    scores = _scale_mask(scores, ks)
     probs = jax.nn.softmax(scores, axis=-1)
     pw = (probs * vs[:, :, None, :]).astype(dtype)
     return jnp.einsum("bhqs,bshd->bhqd", pw, vq.astype(dtype),
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
-def _cross_attention_int8_mxu(qh, kq, ks, vq, vs, s):
+def _cross_attention_int8_mxu(qh, kq, ks, vq, vs):
     """Head-minor layout twin of _attention_int8_mxu (q and probs quantized,
     both contractions int8xint8->int32)."""
     qq, qs = quantize_kv(qh)
@@ -672,7 +661,7 @@ def _cross_attention_int8_mxu(qh, kq, ks, vq, vs, s):
     scores = jnp.einsum("bhqd,bshd->bhqs", qq, kq,
                         preferred_element_type=jnp.int32).astype(jnp.float32)
     scores = scores * qs[..., None] * ks[:, :, None, :]
-    scores = _cross_mask(scores, kq.shape[1], s)
+    scores = _scale_mask(scores, ks)
     probs = jax.nn.softmax(scores, axis=-1)
     pw = probs * vs[:, :, None, :]
     pq, ps = quantize_kv(pw)
@@ -802,7 +791,6 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             hd = qh.shape[-1]
             qh = (qh[:, :, 0].reshape(B // beam_width, beam_width, H, hd)
                   .transpose(0, 2, 1, 3))               # [B/K, H, K, hd]
-        S = cfg.max_source_positions
         head_minor = cache.cross_k.ndim == 4
         if (head_minor and scores_int8 and beam_width == 1
                 and jax.default_backend() == "tpu"):
@@ -816,7 +804,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 qq[:, :, 0].reshape(B, -1), qs,
                 cache.cross_k, cache.cross_k_scale,
                 cache.cross_v, cache.cross_v_scale,
-                layer=l, n_heads=H, s_valid=S, out_dtype=dtype)
+                layer=l, n_heads=H, out_dtype=dtype)
             a_merged = o[:, None, :]                    # [B, 1, d_model]
         else:
             if head_minor:
@@ -825,7 +813,7 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 cross_fn = (_cross_attention_int8_mxu if scores_int8
                             else _cross_attention_int8)
                 a = cross_fn(qh, cache.cross_k[l], cache.cross_k_scale[l],
-                             cache.cross_v[l], cache.cross_v_scale[l], S)
+                             cache.cross_v[l], cache.cross_v_scale[l])
             elif cache.cross_k_scale is not None:
                 a = attn_int8(qh, cache.cross_k[l], cache.cross_k_scale[l],
                               cache.cross_v[l], cache.cross_v_scale[l])

@@ -44,7 +44,7 @@ NEG = -1e30  # python float: jnp scalars would be captured consts in Pallas
 
 
 def _kernel(qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
-            *, n_heads: int, head_dim: int, s_valid: int):
+            *, n_heads: int, head_dim: int):
     H, hd = n_heads, head_dim
     D = H * hd
     S = kq_ref.shape[-2]
@@ -62,9 +62,11 @@ def _kernel(qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
     # scores^T [H, S]: lane-contraction on both operands (A @ B^T), s8 MXU.
     st = jax.lax.dot_general(qrows, kq_ref[0, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    st = st.astype(jnp.float32) * qs_ref[0] * ks_ref[0, 0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (H, S), 1)
-    st = jnp.where(lane < s_valid, st, NEG)
+    ks = ks_ref[0, 0]
+    st = st.astype(jnp.float32) * qs_ref[0] * ks
+    # Layout padding carries key scale 0 (real scales are strictly
+    # positive) — masking on the scales stays correct for any true S.
+    st = jnp.where(ks > 0, st, NEG)
 
     m = jnp.max(st, axis=1, keepdims=True)
     p = jnp.exp(st - m)
@@ -83,12 +85,12 @@ def _kernel(qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("layer", "n_heads", "s_valid",
-                                    "out_dtype", "interpret"))
+                   static_argnames=("layer", "n_heads", "out_dtype",
+                                    "interpret"))
 def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
                            kq: jnp.ndarray, ks: jnp.ndarray,
                            vq: jnp.ndarray, vs: jnp.ndarray,
-                           *, layer: int, n_heads: int, s_valid: int,
+                           *, layer: int, n_heads: int,
                            out_dtype=jnp.bfloat16,
                            interpret: bool = False) -> jnp.ndarray:
     """One decode step of cross-attention for a whole batch.
@@ -98,7 +100,8 @@ def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
     stacked cache — `layer` picks the plane via a static BlockSpec offset,
     so no per-layer slice/reshape buffer is ever materialized (feeding a
     sliced operand to pallas_call would copy the 100s-of-MB slab every
-    step). Returns [B, D]. `s_valid` masks the layout padding.
+    step). Returns [B, D]. Layout padding (key scale 0) is masked inside
+    the kernel — real scales are strictly positive.
     """
     B, D = qq.shape
     H = n_heads
@@ -106,8 +109,7 @@ def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
     S = kq.shape[2]
     l = layer
 
-    kernel = functools.partial(_kernel, n_heads=H, head_dim=hd,
-                               s_valid=s_valid)
+    kernel = functools.partial(_kernel, n_heads=H, head_dim=hd)
     # q/out carry a singleton row axis so every block's trailing two dims
     # match the array dims (the Pallas TPU block-shape rule).
     out = pl.pallas_call(
@@ -131,7 +133,7 @@ def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
 
 
 def cross_decode_reference(qq, qs, kq, ks, vq, vs, *, layer, n_heads,
-                           s_valid, out_dtype=jnp.bfloat16):
+                           out_dtype=jnp.bfloat16):
     """jnp reference with identical quantization points (parity tests)."""
     kq, ks, vq, vs = kq[layer], ks[layer], vq[layer], vs[layer]
     B, D = qq.shape
@@ -141,7 +143,7 @@ def cross_decode_reference(qq, qs, kq, ks, vq, vs, *, layer, n_heads,
     qf = qq.reshape(B, H, hd).astype(jnp.float32) * qs      # [B, H, hd]
     kf = kq.reshape(B, S, H, hd).astype(jnp.float32)
     st = jnp.einsum("bhd,bshd->bhs", qf, kf) * ks
-    st = jnp.where(jnp.arange(S)[None, None] < s_valid, st, NEG)
+    st = jnp.where(ks > 0, st, NEG)
     p = jax.nn.softmax(st, axis=-1)
     pw = p * vs
     pscale = jnp.maximum(jnp.max(jnp.abs(pw), -1, keepdims=True), 1e-8) / 127.0

@@ -83,7 +83,15 @@ def encoder_attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, T, D = q.shape
     bq = BLOCK_Q if T % BLOCK_Q == 0 else T
     group = min(128, D)                              # lanes per grid cell
-    per = group // (D // n_heads)                    # heads per group
+    hd = D // n_heads
+    if D % group or group % hd:
+        # Heads straddling a group boundary would silently mix lanes and
+        # ungridded lanes would stay unwritten — refuse instead.
+        raise ValueError(
+            f"flash='hm' needs head_dim ({hd}) to divide the {group}-lane "
+            f"group and the group to divide d_model ({D}); use flash=True "
+            f"for this configuration")
+    per = group // hd                                # heads per group
     kernel = functools.partial(_kernel, heads_per_group=per, t_valid=t_valid)
     # Grid order (B, group, q-block): the K/V block index is constant
     # across the fastest (q-block) dimension, so each [T, group] K/V slice

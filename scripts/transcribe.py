@@ -78,6 +78,11 @@ def main(argv=None):
     for path in args.audio:
         audio = load_audio(path)
         seconds = len(audio) / mel_ops.SAMPLE_RATE
+        long = args.longform or seconds > mel_ops.CHUNK_SECONDS
+        if args.num_beams > 1 and (args.streaming or long):
+            logger.warning("--num_beams only applies to single-window "
+                           "decoding; %s uses greedy",
+                           "streaming" if args.streaming else "long-form")
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
@@ -87,14 +92,26 @@ def main(argv=None):
                                       lora=lora, lora_scale=lora_scale)
             step = int(args.stream_chunk_seconds * mel_ops.SAMPLE_RATE)
             shown = ""
-            for s in range(0, len(audio), step):
-                text = st.feed(audio[s:s + step])
-                if text != shown:           # print only newly committed text
+
+            def show(text):
+                # Committed IDS never retract, but their DECODED string can
+                # be revised at a boundary (e.g. a partial UTF-8 sequence
+                # completing) — reprint the line when it isn't an append.
+                nonlocal shown
+                if text == shown:
+                    return
+                if text.startswith(shown):
                     print(text[len(shown):], end="", flush=True)
-                    shown = text
+                else:
+                    print("\r" + text, end="", flush=True)
+                shown = text
+
+            for s in range(0, len(audio), step):
+                show(st.feed(audio[s:s + step]))
             text = st.finalize()
-            print(text[len(shown):])
-        elif args.longform or seconds > mel_ops.CHUNK_SECONDS:
+            show(text)
+            print()
+        elif long:
             from sar_tpu.evaluation.longform import transcribe_long
             text = transcribe_long(audio, cfg, params, tokenizer,
                                    language=args.language,

@@ -39,11 +39,10 @@ def data(rng=np.random.default_rng(7)):
 def test_kernel_matches_reference(data, layer):
     qq, qs, kq, ks, vq, vs, _ = data
     got = cross_decode_attention(qq, qs, kq, ks, vq, vs, layer=layer,
-                                 n_heads=H, s_valid=S,
-                                 out_dtype=jnp.float32, interpret=True)
+                                 n_heads=H, out_dtype=jnp.float32,
+                                 interpret=True)
     want = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=layer,
-                                  n_heads=H, s_valid=S,
-                                  out_dtype=jnp.float32)
+                                  n_heads=H, out_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
 
@@ -52,12 +51,38 @@ def test_reference_matches_model_twin(data):
     """Same math as the jnp path decode_step uses when scores_int8=True."""
     qq, qs, kq, ks, vq, vs, qh = data
     ref = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=0,
-                                 n_heads=H, s_valid=S,
-                                 out_dtype=jnp.float32)
+                                 n_heads=H, out_dtype=jnp.float32)
     # The model twin quantizes q itself from the float query.
-    twin = whisper._cross_attention_int8_mxu(qh, kq[0], ks[0], vq[0], vs[0], S)
+    twin = whisper._cross_attention_int8_mxu(qh, kq[0], ks[0], vq[0], vs[0])
     twin = whisper.merge_heads(twin)[:, 0]               # [B, D]
     np.testing.assert_allclose(np.asarray(ref), np.asarray(twin),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_short_encoder_matches_classic_layout(data,
+                                              rng=np.random.default_rng(9)):
+    """A cache built from a SHORTER-than-max encoder output must attend
+    identically in both layouts (the padding mask keys on zero scales, not
+    on a static model length — regression for the cfg.max_source_positions
+    masking bug)."""
+    S_short = 40                                        # << S_pad
+    k = rng.standard_normal((B, S_pad, H, hd)).astype(np.float32)
+    v = rng.standard_normal((B, S_pad, H, hd)).astype(np.float32)
+    k[:, S_short:] = 0.0
+    v[:, S_short:] = 0.0
+    kq, ks = whisper.quantize_kv(jnp.asarray(k))
+    vq, vs = whisper.quantize_kv(jnp.asarray(v))
+    ks = ks.transpose(0, 2, 1).at[:, :, S_short:].set(0.0)  # [B, H, S_pad]
+    vs = vs.transpose(0, 2, 1).at[:, :, S_short:].set(0.0)
+    qh = jnp.asarray(rng.standard_normal((B, H, 1, hd)), jnp.float32)
+    hm = whisper._cross_attention_int8(
+        qh, kq.reshape(B, S_pad, D), ks, vq.reshape(B, S_pad, D), vs)
+    # Classic layout over only the REAL S_short positions.
+    kq5 = kq[:, :S_short].transpose(0, 2, 1, 3)
+    vq5 = vq[:, :S_short].transpose(0, 2, 1, 3)
+    classic = whisper._attention_int8(qh, kq5, ks[..., :S_short],
+                                      vq5, vs[..., :S_short])
+    np.testing.assert_allclose(np.asarray(hm), np.asarray(classic),
                                rtol=2e-5, atol=2e-5)
 
 
@@ -66,9 +91,9 @@ def test_kernel_close_to_exact_attention(data):
     the exact int8-KV attention."""
     qq, qs, kq, ks, vq, vs, qh = data
     got = cross_decode_attention(qq, qs, kq, ks, vq, vs, layer=0,
-                                 n_heads=H, s_valid=S,
-                                 out_dtype=jnp.float32, interpret=True)
-    exact = whisper._cross_attention_int8(qh, kq[0], ks[0], vq[0], vs[0], S)
+                                 n_heads=H, out_dtype=jnp.float32,
+                                 interpret=True)
+    exact = whisper._cross_attention_int8(qh, kq[0], ks[0], vq[0], vs[0])
     exact = whisper.merge_heads(exact)[:, 0]
     err = (np.abs(np.asarray(got) - np.asarray(exact)).max()
            / max(np.abs(np.asarray(exact)).max(), 1e-6))

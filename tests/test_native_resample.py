@@ -41,6 +41,25 @@ def test_native_matches_numpy(orig_sr, target_sr):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_tiny_input_native_and_fallback_agree():
+    """Inputs shorter than the filter: both paths must agree in shape and
+    values (np.convolve 'same' centers on the LONGER array, so the fallback
+    uses full+slice — regression)."""
+    orig_sr, target_sr = 22050, 16000
+    g = math.gcd(orig_sr, target_sr)
+    L, M = target_sr // g, orig_sr // g
+    taps = pp._design_taps(L, M)
+    audio = np.random.default_rng(2).standard_normal(50).astype(np.float32)
+    native = resample_poly(audio, taps, L, M)
+    up = np.zeros(len(audio) * L, np.float64)
+    up[::L] = audio.astype(np.float64) * L
+    half = (len(taps) - 1) // 2
+    fallback = np.convolve(up, taps, mode="full")[
+        half:half + len(up):M].astype(np.float32)
+    assert native.shape == fallback.shape
+    np.testing.assert_allclose(native, fallback, rtol=1e-5, atol=1e-6)
+
+
 def test_resample_uses_native_and_preserves_tone():
     """A pure tone survives 48k->16k resampling with the right length and
     frequency (sanity on the public resample() entry)."""
