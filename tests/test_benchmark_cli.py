@@ -1,0 +1,30 @@
+"""scripts/benchmark.py hermetic smokes: the greedy, beam, and s8-scores
+sweep paths on the CPU backend with the tiny config (numbers are
+meaningless off-TPU; this guards the CLI plumbing + jnp twin paths)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+def test_benchmark_greedy_and_beam_rows():
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4",
+        "--num_beams", "1", "2", "--iters", "1"])
+    rows = report["results"]
+    assert [r["num_beams"] for r in rows] == [1, 2]
+    assert all(r["rtfx"] > 0 for r in rows)
+
+
+def test_benchmark_scores_int8_row_reports_agreement():
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4",
+        "--attn_scores", "int8", "--iters", "1"])
+    (row,) = report["results"]
+    assert row["attn_scores"] == "int8"
+    assert 0.0 <= row["token_agreement_vs_bf16"] <= 1.0
