@@ -37,7 +37,7 @@ class ASREvaluator:
                  language: str = "hindi", max_new_tokens: int = 256,
                  num_beams: int = 1, lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
-                 flash: str | bool = "auto"):
+                 flash: str | bool = "auto", scores_int8: bool = False):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -47,6 +47,11 @@ class ASREvaluator:
         self.lora = lora
         self.lora_scale = lora_scale
         self.kv_int8 = kv_int8
+        if scores_int8 and not kv_int8:
+            raise ValueError("scores_int8 requires kv_int8=True")
+        # s8-MXU attention (fused kernel on TPU; approximate — see
+        # PARITY.md known-deviations). The WER gate for making it default.
+        self.scores_int8 = scores_int8
         # Blockwise (flash) encoder attention: avoids the [1500, 1500] fp32
         # score materialization that OOMed whisper-large at batch 32.
         # "auto" = on for TPU backends (the Pallas kernel has no CPU build).
@@ -76,6 +81,7 @@ class ASREvaluator:
 
         kv_int8 = self.kv_int8
         flash = self.flash
+        scores_int8 = self.scores_int8
 
         def prep(params, mel):
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
@@ -83,7 +89,10 @@ class ASREvaluator:
             return whisper.init_cache(params, enc, cfg, max_len=total,
                                       lora=lora, lora_scale=scale,
                                       cross_kv_int8=kv_int8,
-                                      self_kv_int8=kv_int8)
+                                      self_kv_int8=kv_int8,
+                                      # head-minor slabs feed the fused
+                                      # s8 kernel (greedy only)
+                                      head_minor=scores_int8)
 
         def prep_enc_only(params, mel):
             return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
@@ -92,13 +101,15 @@ class ASREvaluator:
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
             return greedy_decode_from_cache(params, cache, cfg, prompt,
-                                            lora=lora, lora_scale=scale)
+                                            lora=lora, lora_scale=scale,
+                                            scores_int8=scores_int8)
 
         def beam(params, enc, prompt):
             from sar_tpu.decode.beam import beam_decode
             return beam_decode(params, enc, cfg, prompt, num_beams=beams,
                                max_new_tokens=mnt, lora=lora, lora_scale=scale,
-                               cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
+                               cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                               scores_int8=scores_int8)
 
         self._prep = jax.jit(prep)
         self._prep_enc = jax.jit(prep_enc_only)

@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    choices=["int8", "bf16"],
                    help="Cross-attention KV cache precision (int8 halves "
                         "decode memory traffic; bf16 for exact parity)")
+    p.add_argument("--attn_scores", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8 = s8-MXU attention (fused Pallas kernel on "
+                        "TPU; approximate, requires --kv_cache int8) — THE "
+                        "flag for real-weight WER gating of the fast path")
     p.add_argument("--platform", type=str, default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="Pin the jax platform (cpu + "
@@ -121,7 +126,8 @@ def main(argv=None):
                              max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams, lora=lora,
                              lora_scale=lora_scale,
-                             kv_int8=args.kv_cache == "int8", mesh=mesh)
+                             kv_int8=args.kv_cache == "int8", mesh=mesh,
+                             scores_int8=args.attn_scores == "int8")
     need_preds = args.save_predictions or args.per_sample
     results = evaluator.evaluate(loader, return_predictions=need_preds)
 
