@@ -37,7 +37,8 @@ class ASREvaluator:
                  language: str = "hindi", max_new_tokens: int = 256,
                  num_beams: int = 1, lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
-                 flash: str | bool = "auto", scores_int8: bool = False):
+                 flash: str | bool = "auto", scores_int8: bool = False,
+                 prompt_tokens=None):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -68,7 +69,11 @@ class ASREvaluator:
             self.params = shard_params(self.params, mesh)
             if self.lora is not None:
                 self.lora = shard_lora(self.lora, mesh)
-        self._prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
+        # `prompt_tokens` overrides the standard Whisper decoder prompt —
+        # e.g. [sot] alone for English-only / custom-vocab models.
+        self._prompt = jnp.asarray(
+            list(prompt_tokens) if prompt_tokens is not None
+            else cfg.prompt_ids(language), jnp.int32)
         self._build_steps()
 
     def _build_steps(self):

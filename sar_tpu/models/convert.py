@@ -10,6 +10,8 @@ the parity tests with random-init tiny configs).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from sar_tpu.models.config import WhisperConfig
@@ -103,6 +105,144 @@ def from_state_dict(sd: dict, cfg: WhisperConfig) -> dict:
 def from_hf_model(model, cfg: WhisperConfig) -> dict:
     """Convert an in-memory HF model (e.g. a random-init tiny one in tests)."""
     return from_state_dict(dict(model.state_dict()), cfg)
+
+
+# ---------------------------------------------------------------------------
+# PEFT adapter-checkpoint interop.
+#
+# The reference's trained artifacts are PEFT `save_pretrained` directories
+# (/root/reference/src/models/whisper_lora.py:207-232, loaded at :283-321):
+# adapter_config.json (peft schema) + adapter_model.safetensors with keys like
+#     base_model.model.model.encoder.layers.0.self_attn.q_proj.lora_A.weight
+# lora_A.weight is [r, d_in] and lora_B.weight is [d_out, r]; the delta is
+# scale * x @ A^T @ B^T, which maps to our bank entries a = A^T ([d, r]) and
+# b = B^T ([r, d]) so that delta = scale * (x @ a) @ b matches exactly.
+# ---------------------------------------------------------------------------
+
+_PEFT_KEY_RE = re.compile(
+    r"(?:.*\.)?model\.(encoder|decoder)\.layers\.(\d+)\."
+    r"(self_attn|encoder_attn)\.(q_proj|k_proj|v_proj|out_proj)\."
+    r"lora_(A|B)(?:\.[^.]+)?\.weight$")
+
+# (side, attn, target) -> our per-stack hook key (see lora._TARGET_MAP).
+_PEFT_HOOKS = {
+    ("encoder", "self_attn", "q_proj"): "q",
+    ("encoder", "self_attn", "k_proj"): "k",
+    ("encoder", "self_attn", "v_proj"): "v",
+    ("encoder", "self_attn", "out_proj"): "o",
+    ("decoder", "self_attn", "q_proj"): "self_q",
+    ("decoder", "self_attn", "k_proj"): "self_k",
+    ("decoder", "self_attn", "v_proj"): "self_v",
+    ("decoder", "self_attn", "out_proj"): "self_o",
+    ("decoder", "encoder_attn", "q_proj"): "cross_q",
+    ("decoder", "encoder_attn", "k_proj"): "cross_k",
+    ("decoder", "encoder_attn", "v_proj"): "cross_v",
+    ("decoder", "encoder_attn", "out_proj"): "cross_o",
+}
+
+
+def lora_from_peft_state_dict(sd: dict, cfg: WhisperConfig) -> dict:
+    """PEFT lora tensors (in-memory state_dict or loaded safetensors) ->
+    a single-adapter bank ({side: {hook: {a: [L, 1, d, r], b: ...}}}).
+
+    Layers a hook never matched (e.g. peft `layers_to_transform` subsets)
+    stay zero — a zero-rank delta is a no-op, so the import is exact.
+    """
+    found: dict[tuple[str, str], dict[int, np.ndarray]] = {}
+    for key, tensor in sd.items():
+        m = _PEFT_KEY_RE.match(key)
+        if not m:
+            continue
+        side, layer, attn, target, ab = m.groups()
+        hook = _PEFT_HOOKS[(side, attn, target)]
+        found.setdefault((side, hook, ab), {})[int(layer)] = _np(tensor)
+    if not found:
+        raise ValueError("no PEFT lora_A/lora_B whisper keys found in "
+                         f"state_dict ({len(sd)} entries)")
+    ranks = {t.shape[0 if ab == "A" else 1]
+             for (_, _, ab), lt in found.items() for t in lt.values()}
+    if len(ranks) != 1:
+        raise ValueError(f"mixed LoRA ranks in one PEFT checkpoint: {ranks}; "
+                         "import each rank separately and combine with "
+                         "lora.stack_adapters")
+    r = ranks.pop()
+
+    bank: dict = {"encoder": {}, "decoder": {}}
+    n_layers = {"encoder": cfg.encoder_layers, "decoder": cfg.decoder_layers}
+    for (side, hook, ab), per_layer in found.items():
+        L = n_layers[side]
+        entry = bank[side].setdefault(hook, {})
+        # a: [L, 1, d, r] = lora_A^T; b: [L, 1, r, d] = lora_B^T.
+        sample = next(iter(per_layer.values()))
+        d = sample.shape[1] if ab == "A" else sample.shape[0]
+        shape = (L, 1, d, r) if ab == "A" else (L, 1, r, d)
+        stacked = np.zeros(shape, np.float32)
+        for layer, t in per_layer.items():
+            if layer >= L:
+                raise ValueError(f"PEFT key references layer {layer} but "
+                                 f"{side} has {L} layers")
+            stacked[layer, 0] = t.T
+        entry["a" if ab == "A" else "b"] = stacked
+    for side in list(bank):
+        for hook, entry in bank[side].items():
+            if set(entry) != {"a", "b"}:
+                raise ValueError(f"incomplete PEFT pair for {side}/{hook}: "
+                                 f"has {sorted(entry)}")
+        if not bank[side]:
+            del bank[side]
+    return bank
+
+
+def lora_from_peft(path, cfg: WhisperConfig):
+    """Load a PEFT `save_pretrained` directory -> (bank, LoraConfig).
+
+    Reads adapter_config.json + adapter_model.safetensors (or the legacy
+    adapter_model.bin). This is the interop path for evaluating the
+    reference's own trained adapters (whisper_lora.py:207-232) in sar_tpu.
+    """
+    import json
+    from pathlib import Path
+
+    from sar_tpu.models.lora import LoraConfig
+
+    path = Path(path)
+    pcfg = json.loads((path / "adapter_config.json").read_text())
+    if pcfg.get("peft_type", "LORA").upper() != "LORA":
+        raise ValueError(f"not a LoRA PEFT checkpoint: {pcfg.get('peft_type')}")
+    for unsupported in ("use_rslora", "use_dora"):
+        if pcfg.get(unsupported):
+            raise ValueError(f"PEFT option {unsupported} is not supported")
+    if pcfg.get("rank_pattern") or pcfg.get("alpha_pattern"):
+        raise ValueError("PEFT rank_pattern/alpha_pattern are not supported")
+
+    st_file = path / "adapter_model.safetensors"
+    if st_file.exists():
+        from safetensors.numpy import load_file
+        sd = load_file(st_file)
+    else:
+        bin_file = path / "adapter_model.bin"
+        if not bin_file.exists():
+            raise FileNotFoundError(
+                f"no adapter_model.safetensors or .bin under {path}")
+        import torch
+        sd = torch.load(bin_file, map_location="cpu", weights_only=True)
+
+    bank = lora_from_peft_state_dict(sd, cfg)
+    lcfg = LoraConfig(
+        r=int(pcfg["r"]), alpha=int(pcfg["lora_alpha"]),
+        dropout=float(pcfg.get("lora_dropout", 0.0)),
+        target_modules=tuple(sorted(pcfg.get("target_modules") or
+                                    ("q_proj", "v_proj"))))
+    return bank, lcfg
+
+
+def is_peft_checkpoint(path) -> bool:
+    """True when `path` is a PEFT save_pretrained directory (the reference's
+    adapter format) rather than a sar_tpu adapter directory."""
+    from pathlib import Path
+    path = Path(path)
+    return ((path / "adapter_model.safetensors").exists()
+            or (path / "adapter_model.bin").exists())
 
 
 def config_from_hf(hf_config) -> WhisperConfig:

@@ -203,3 +203,19 @@ def load_adapter(path: str | Path) -> tuple[dict, LoraConfig, dict]:
     with np.load(path / "adapter_params.npz") as z:
         lora = _unflatten({k: z[k] for k in z.files})
     return lora, LoraConfig.from_dict(cfg["lora"]), cfg.get("metadata", {})
+
+
+def load_any_adapter(path: str | Path, model_cfg) -> tuple[dict, LoraConfig, dict]:
+    """Load either a sar_tpu adapter directory or a PEFT save_pretrained
+    directory (the reference's trained-adapter format,
+    /root/reference/src/models/whisper_lora.py:207-232) -> (bank, cfg, meta).
+
+    `model_cfg` (WhisperConfig) supplies layer counts for the PEFT import.
+    """
+    from sar_tpu.models import convert
+    path = Path(path)
+    if convert.is_peft_checkpoint(path):
+        bank, lcfg = convert.lora_from_peft(path, model_cfg)
+        bank = jax.tree.map(jnp.asarray, bank)
+        return bank, lcfg, {"format": "peft"}
+    return load_adapter(path)

@@ -186,7 +186,7 @@ def build_router_from_checkpoints(
     classifier's language order."""
     adapters, scales = [], []
     for lang in clf_cfg.languages:
-        bank, lcfg, _ = lora_lib.load_adapter(adapter_dirs[lang])
+        bank, lcfg, _ = lora_lib.load_any_adapter(adapter_dirs[lang], cfg)
         if lora_lib.num_adapters(bank) != 1:
             raise ValueError(f"{adapter_dirs[lang]} holds a bank, not a single adapter")
         # Fold each adapter's own alpha/r scale into B so one bank-level

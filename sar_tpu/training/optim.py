@@ -17,9 +17,16 @@ import optax
 
 def make_schedule(kind: str, learning_rate: float, warmup_steps: int,
                   max_steps: int) -> optax.Schedule:
-    warmup = optax.linear_schedule(
-        init_value=learning_rate * 1e-8, end_value=learning_rate,
-        transition_steps=max(warmup_steps, 1))
+    # Cancellation-free warmup: optax.linear_schedule computes
+    # (init - end)*(1 - frac) + end, which in float32 rounds the tiny
+    # init (lr * 1e-8, the reference's warmup start factor) to exactly 0 at
+    # step 0; `init*(1-frac) + end*frac` keeps it exact at both endpoints.
+    init = learning_rate * 1e-8
+    steps = max(warmup_steps, 1)
+
+    def warmup(count):
+        frac = jnp.clip(count / steps, 0.0, 1.0)
+        return init * (1.0 - frac) + learning_rate * frac
     decay_steps = max(max_steps - warmup_steps, 1)
     if kind == "linear":
         decay = optax.linear_schedule(learning_rate, 0.0, decay_steps)

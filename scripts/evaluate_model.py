@@ -99,7 +99,7 @@ def main(argv=None):
                 f"error: no adapter found at {ckpt} (expected "
                 f"adapter_config.json in it or in an adapter/ subdir); "
                 f"use --checkpoint none for the zero-shot base model")
-        lora, lcfg, meta = lora_lib.load_adapter(adapter_dir)
+        lora, lcfg, meta = lora_lib.load_any_adapter(adapter_dir, cfg)
         lora_scale = lcfg.scale
         logger.info("loaded adapter %s (r=%d, alpha=%d, meta=%s)",
                     adapter_dir, lcfg.r, lcfg.alpha, meta)

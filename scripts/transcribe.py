@@ -70,7 +70,7 @@ def main(argv=None):
     if args.checkpoint:
         ckpt = Path(args.checkpoint)
         adapter = ckpt / "adapter" if (ckpt / "adapter").exists() else ckpt
-        lora, lcfg, _ = lora_lib.load_adapter(adapter)
+        lora, lcfg, _ = lora_lib.load_any_adapter(adapter, cfg)
         lora_scale = lcfg.scale
         logger.info("adapter %s (r=%d alpha=%d)", adapter, lcfg.r, lcfg.alpha)
 
