@@ -34,8 +34,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 # weights — see scripts/benchmark.py's gating harness). Default stays the
 # exact bf16-compute int8-KV path.
 SCORES_INT8 = os.environ.get("BENCH_SCORES", "") == "int8"
+# Decode-loop segmentation (static self-KV window growth); 0 = one loop.
+SEGMENT = int(os.environ.get("BENCH_SEGMENT", "32"))
 MAX_NEW_TOKENS = 256
-ITERS = 3
+# Per-iteration times are reported as median + spread: run-to-run HBM
+# variance measured 5-7% on v5e, so a 3-iter mean hid round-over-round
+# kernel gains inside the noise band (VERDICT r02).
+ITERS = int(os.environ.get("BENCH_ITERS", "7"))
 
 
 def decode_bytes_per_step(params, cache, total, kv_int8):
@@ -104,11 +109,16 @@ def main():
 
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache):
+        # return_cache gives the donated cache a same-shaped output to alias
+        # (XLA donation = input-output aliasing); callers drop it.
         return greedy_decode_from_cache(params, cache, cfg, prompt,
-                                        scores_int8=SCORES_INT8)
+                                        scores_int8=SCORES_INT8,
+                                        return_cache=True, segment=SEGMENT)
 
     def transcribe(params, audio):
-        return decode(params, prep(params, audio))
+        tokens, spent = decode(params, prep(params, audio))
+        del spent
+        return tokens
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
@@ -118,30 +128,39 @@ def main():
     # guarantees completion through remote-execution tunnels.
     cache0 = prep(params, audio)
     bytes_per_step = decode_bytes_per_step(params, cache0, total, kv_int8=True)
-    np.asarray(decode(params, cache0))
+    tok0, spent0 = decode(params, cache0)
+    np.asarray(tok0)
+    del spent0
 
     # Prep alone (amortized once per batch; decode dominates). Each iteration
     # is fenced: async dispatch would otherwise allocate several multi-GB
     # caches at once (whisper-large B=32 cache is 5.8 GB — two in flight
     # plus params OOMed the 16 GB chip).
-    t0 = time.perf_counter()
+    prep_times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         c = jax.block_until_ready(prep(params, audio))
+        prep_times.append(time.perf_counter() - t0)
         del c
-    prep_s = (time.perf_counter() - t0) / ITERS
+    prep_s = float(np.median(prep_times))
 
-    t0 = time.perf_counter()
+    run_times = []
     for _ in range(ITERS):
+        t0 = time.perf_counter()
         out = jax.block_until_ready(transcribe(params, audio))
+        run_times.append(time.perf_counter() - t0)
     np.asarray(out)
-    elapsed = time.perf_counter() - t0
 
-    audio_seconds = BATCH * mel_ops.CHUNK_SECONDS * ITERS
-    rtfx = audio_seconds / elapsed
+    # Median batch time -> RTFx; spread = (max-min)/median over the iters so
+    # round-over-round deltas can be judged against the machine's own noise.
+    batch_s = float(np.median(run_times))
+    spread_pct = 100.0 * (max(run_times) - min(run_times)) / batch_s
+    audio_seconds = BATCH * mel_ops.CHUNK_SECONDS
+    rtfx = audio_seconds / batch_s
     # Roofline context: the decode loop is KV/weight-bandwidth-bound; the
     # achieved read bandwidth against the v5e HBM peak lets the single-chip
     # number stand on its own (vs_baseline's A100 figure is an estimate).
-    decode_s = max(elapsed / ITERS - prep_s, 1e-9)
+    decode_s = max(batch_s - prep_s, 1e-9)
     steps = total - 1   # random weights never emit EOS: full-length decode
     hbm_gbps = bytes_per_step * steps / decode_s / 1e9
     print(json.dumps({
@@ -156,6 +175,9 @@ def main():
         "roofline_frac": round(hbm_gbps / V5E_HBM_GBPS, 3),
         "prep_ms": round(prep_s * 1000, 1),
         "decode_ms_per_token": round(decode_s / steps * 1000, 3),
+        "iters": ITERS,
+        "spread_pct": round(spread_pct, 1),
+        "batch_s_samples": [round(t, 4) for t in run_times],
     }))
 
 

@@ -43,7 +43,14 @@ import jax.numpy as jnp
 from sar_tpu.models import whisper
 from sar_tpu.models.config import WhisperConfig
 
-NEG_INF = jnp.float32(-1e9)
+# A plain Python float, NOT jnp.float32(...): a module-level device scalar
+# is hoisted as a shared constant buffer into every beam trace, and jax
+# 0.9's cross-trace const bookkeeping then fails repeat executions with
+# "Execution supplied 30 buffers but compiled program expected 31" (jit
+# fast path) / "compiled for 53 inputs but called with 52" (AOT) once
+# another program has traced with the same shared const. A literal embeds
+# into the HLO instead.
+NEG_INF = -1e9
 
 
 def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
@@ -56,9 +63,20 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 self_kv_int8: bool = False,
                 scores_int8: bool = False,
                 suppress_ids: tuple[int, ...] = (),
-                begin_suppress_ids: tuple[int, ...] = ()) -> jnp.ndarray:
+                begin_suppress_ids: tuple[int, ...] = (),
+                segment: int = 32) -> jnp.ndarray:
     """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total];
-    positions after the first EOS are EOS-filled."""
+    positions after the first EOS are EOS-filled.
+
+    `segment` > 0 splits the decode into static-length segments: segment s
+    carries self-KV buffers sized to its static high-water mark
+    min((s+1)*segment, total) (zero-padded up between segments), so both
+    the per-step beam-reorder gather and the self-attention read touch only
+    ~the valid prefix instead of all `total` rows — the reorder was the
+    dominant residual beam cost (a full self-cache read+write per step).
+    The buffers ARE the prefix (no per-step slicing), so the while carry
+    still updates in place. Token output is bit-identical to segment=0;
+    compile time grows with the segment count (total/segment loop bodies)."""
     B, S, D = enc_out.shape
     K = num_beams
     K2 = 2 * K
@@ -84,6 +102,13 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
                                self_batch=B * K)
+    # The (large, loop-invariant) cross K/V are closed over; only the
+    # mutable self buffers ride the while carry (segment-sized when
+    # `segment` > 0).
+    cross = cache._replace(self_k=None, self_v=None,
+                           self_k_scale=None, self_v_scale=None)
+    mutable0 = (cache.self_k, cache.self_v,
+                cache.self_k_scale, cache.self_v_scale)
 
     suppress = jnp.asarray(suppress_ids, jnp.int32) if suppress_ids else None
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
@@ -104,16 +129,21 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     # so the running set never starves when the top K all pick EOS).
     top_k_mask = rank2k < K
 
-    def cond(state):
-        pos, *_, unsat, _ = state
-        return (pos < total - 1) & jnp.any(unsat)
+    def make_cond(pos_hi):
+        def cond(state):
+            pos, *_, unsat, _ = state
+            return (pos < pos_hi) & jnp.any(unsat)
+        return cond
 
     def body(state):
         (pos, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags,
-         unsat, cache) = state
+         unsat, mutable) = state
+        sk, sv, sks, svs = mutable
+        step_cache = cross._replace(self_k=sk, self_v=sv,
+                                    self_k_scale=sks, self_v_scale=svs)
         flat_tok = run_seqs.reshape(B * K, total)[:, pos]
-        logits, cache = whisper.decode_step(
-            params, flat_tok, pos, cache, cfg, lora=lora,
+        logits, step_cache = whisper.decode_step(
+            params, flat_tok, pos, step_cache, cfg, lora=lora,
             adapter_idx=idx_k, lora_scale=lora_scale,
             scores_int8=scores_int8, beam_width=K)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
@@ -175,17 +205,16 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         new_fin_scores = jnp.where(in_prompt, fin_scores, new_fin_scores)
         new_fin_flags = jnp.where(in_prompt, fin_flags, new_fin_flags)
 
-        # Reorder ONLY the self cache (+ its scales): alive_src stays within a
-        # sample, and cross K/V are identical across a sample's beams — their
-        # reorder would be a multi-GB no-op.
+        # Reorder ONLY the self cache (+ its scales): alive_src stays within
+        # a sample, and cross K/V are identical across a sample's beams —
+        # their reorder would be a multi-GB no-op. The carried buffers hold
+        # only the current segment's prefix, so the gather moves ~the valid
+        # rows, not all `total`.
         cgather = (jnp.arange(B)[:, None] * K + alive_src).reshape(-1)
-        cache = cache._replace(
-            self_k=cache.self_k[:, cgather],
-            self_v=cache.self_v[:, cgather],
-            self_k_scale=(None if cache.self_k_scale is None
-                          else cache.self_k_scale[:, cgather]),
-            self_v_scale=(None if cache.self_v_scale is None
-                          else cache.self_v_scale[:, cgather]))
+        mutable = tuple(None if x is None else x[:, cgather]
+                        for x in (step_cache.self_k, step_cache.self_v,
+                                  step_cache.self_k_scale,
+                                  step_cache.self_v_scale))
 
         # early_stopping=False heuristic: improvement still possible while the
         # best running beam, if it ended at the current generated length,
@@ -201,12 +230,38 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         new_unsat = jnp.where(in_prompt, unsat, unsat & still)
 
         return (pos + 1, new_run_seqs, new_run_scores, new_fin_seqs,
-                new_fin_scores, new_fin_flags, new_unsat, cache)
+                new_fin_scores, new_fin_flags, new_unsat, mutable)
 
-    state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
-             fin_flags, unsatisfied, cache)
-    (_, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags, _, _) = \
-        jax.lax.while_loop(cond, body, state)
+    def tslice(x, hi):
+        return None if x is None else jax.lax.slice_in_dim(x, 0, hi, axis=3)
+
+    def tpad(x, delta):
+        return None if x is None else jnp.pad(
+            x, [(0, 0)] * 3 + [(0, delta)] + [(0, 0)] * (x.ndim - 4))
+
+    if segment and segment < total - 1:
+        # Python-unrolled segments: segment s runs pos in
+        # [s*segment, min((s+1)*segment, total-1)) carrying self buffers
+        # sized min((s+1)*segment, total), zero-padded up between segments.
+        # Finished batches fall through remaining loops via the shared cond.
+        n_seg = (total - 2) // segment + 1
+        hi = min(segment, total)
+        state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
+                 fin_flags, unsatisfied,
+                 tuple(tslice(x, hi) for x in mutable0))
+        for s in range(n_seg):
+            pos_hi = min((s + 1) * segment, total - 1)
+            state = jax.lax.while_loop(make_cond(pos_hi), body, state)
+            if s + 1 < n_seg:
+                next_hi = min((s + 2) * segment, total)
+                state = state[:-1] + (
+                    tuple(tpad(x, next_hi - hi) for x in state[-1]),)
+                hi = next_hi
+    else:
+        state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
+                 fin_flags, unsatisfied, mutable0)
+        state = jax.lax.while_loop(make_cond(total - 1), body, state)
+    (_, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags, _, _) = state
 
     # Finished slots are kept sorted descending by the top_k merge; slot 0 is
     # the best hypothesis (max-length finalization guarantees it exists).

@@ -33,7 +33,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   scores_int8: bool = False,
                   suppress_ids: tuple[int, ...] = (),
                   begin_suppress_ids: tuple[int, ...] = (),
-                  prompt_len: jnp.ndarray | None = None) -> jnp.ndarray:
+                  prompt_len: jnp.ndarray | None = None,
+                  segment: int = 32) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -61,7 +62,7 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, scores_int8=scores_int8,
         suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
-        prompt_len=prompt_len)
+        prompt_len=prompt_len, segment=segment)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -72,8 +73,9 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              scores_int8: bool = False,
                              suppress_ids: tuple[int, ...] = (),
                              begin_suppress_ids: tuple[int, ...] = (),
-                             prompt_len: jnp.ndarray | None = None
-                             ) -> jnp.ndarray:
+                             prompt_len: jnp.ndarray | None = None,
+                             return_cache: bool = False,
+                             segment: int = 32):
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
@@ -83,7 +85,23 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     prefix length DYNAMIC: positions < prompt_len force the buffer's token,
     the rest are generated. One compiled program then serves every prefix
     length — this is what incremental/streaming decoding rides (the
-    committed transcript grows every update without retracing)."""
+    committed transcript grows every update without retracing).
+
+    `return_cache=True` additionally returns the final DecodeCache (cross
+    fields passed through unchanged, self fields = the loop's final carry).
+    Callers that jit this with `donate_argnums` on the cache MUST use it:
+    XLA donation is input-output aliasing, so without a cache-shaped output
+    the donated prep cache cannot alias the loop carry and both copies
+    coexist in HBM ("Some donated buffers were not usable"). Drop the
+    returned cache on the host to free the buffers.
+
+    `segment` > 0 splits the loop into static-length segments: segment s
+    carries self-KV buffers sized to its static high-water mark
+    min((s+1)*segment, total) (zero-padded up between segments), so each
+    step's self-attention streams only ~the valid prefix instead of all
+    `total` rows — the buffers ARE the prefix; no per-step slicing, so the
+    while carry still updates in place. Tokens are identical to segment=0;
+    compile time grows with total/segment."""
     B = cache.cross_k.shape[1]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
@@ -107,9 +125,11 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     mutable0 = (cache.self_k, cache.self_v,
                 cache.self_k_scale, cache.self_v_scale)
 
-    def cond(state):
-        pos, _, _, finished = state
-        return (pos < total - 1) & ~jnp.all(finished)
+    def make_cond(pos_hi):
+        def cond(state):
+            pos, _, _, finished = state
+            return (pos < pos_hi) & ~jnp.all(finished)
+        return cond
 
     def body(state):
         pos, tokens, mutable, finished = state
@@ -139,8 +159,50 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                    step_cache.self_k_scale, step_cache.self_v_scale)
         return pos + 1, tokens, mutable, finished
 
-    state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool))
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, state)
+    def tslice(x, hi):
+        """Prefix of the time axis (axis 3 for both [L,B,H,T,hd] K/V and
+        [L,B,H,T] scales)."""
+        return None if x is None else jax.lax.slice_in_dim(x, 0, hi, axis=3)
+
+    def tpad(x, delta):
+        return None if x is None else jnp.pad(
+            x, [(0, 0)] * 3 + [(0, delta)] + [(0, 0)] * (x.ndim - 4))
+
+    if segment and segment < total - 1:
+        # Python-unrolled segments: segment s runs pos in
+        # [s*segment, min((s+1)*segment, total-1)) carrying self buffers
+        # sized hi_s = min((s+1)*segment, total) — the step at pos writes
+        # row pos and reads rows <= pos < hi_s. Between segments the carry
+        # is zero-padded up; the final segment's buffers are full-size, so
+        # return_cache sees the standard shape.
+        n_seg = (total - 2) // segment + 1
+        hi = min(segment, total)
+        state = (jnp.int32(0), tokens,
+                 tuple(tslice(x, hi) for x in mutable0),
+                 jnp.zeros((B,), bool))
+        for s in range(n_seg):
+            pos_hi = min((s + 1) * segment, total - 1)
+            state = jax.lax.while_loop(make_cond(pos_hi), body, state)
+            if s + 1 < n_seg:
+                next_hi = min((s + 2) * segment, total)
+                pos, tokens, mutable, fin = state
+                state = (pos, tokens,
+                         tuple(tpad(x, next_hi - hi) for x in mutable), fin)
+                hi = next_hi
+    else:
+        state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool))
+        state = jax.lax.while_loop(make_cond(total - 1), body, state)
+    _, tokens, mutable, _ = state
+    if return_cache:
+        sk, sv, sks, svs = mutable
+        if sk is not None and sk.shape[3] < total:
+            # Segment grid may stop at total-1 rows (the last writable row
+            # is total-2); pad to the standard cache shape so the donated
+            # input can alias the output.
+            delta = total - sk.shape[3]
+            sk, sv, sks, svs = (tpad(x, delta) for x in (sk, sv, sks, svs))
+        return tokens, cross._replace(self_k=sk, self_v=sv,
+                                      self_k_scale=sks, self_v_scale=svs)
     return tokens
 
 

@@ -50,6 +50,21 @@ class ASREvaluator:
         self.kv_int8 = kv_int8
         if scores_int8 and not kv_int8:
             raise ValueError("scores_int8 requires kv_int8=True")
+        if scores_int8 and num_beams > 1:
+            # The fused s8 kernel is greedy-only; threading scores_int8 into
+            # beam_decode selects the classic-layout s8 einsum, which XLA
+            # cannot map to the MXU (~11.6 ms/token — slower than bf16).
+            # Fall back loudly instead of silently picking the slow path.
+            logger.warning("scores_int8 has no beam-folded kernel; beams "
+                           "decode with bf16 attention scores (int8 KV "
+                           "cache stays on)")
+            scores_int8 = False
+        if scores_int8 and mesh is not None:
+            # The fused pallas kernel has no SPMD partitioning rule; under a
+            # mesh it would error or all-gather the sharded cross cache.
+            logger.warning("scores_int8 is unsupported under a device mesh; "
+                           "falling back to bf16 attention scores")
+            scores_int8 = False
         # s8-MXU attention (fused kernel on TPU; approximate — see
         # PARITY.md known-deviations). The WER gate for making it default.
         self.scores_int8 = scores_int8
@@ -105,9 +120,12 @@ class ASREvaluator:
 
         def dec(params, cache, prompt):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
+            # return_cache makes the donated input aliasable (see the
+            # greedy_decode_from_cache docstring); the caller drops it.
             return greedy_decode_from_cache(params, cache, cfg, prompt,
                                             lora=lora, lora_scale=scale,
-                                            scores_int8=scores_int8)
+                                            scores_int8=scores_int8,
+                                            return_cache=True)
 
         def beam(params, enc, prompt):
             from sar_tpu.decode.beam import beam_decode
@@ -139,7 +157,8 @@ class ASREvaluator:
             tokens = self._beam(self.params, enc, self._prompt)
         else:
             cache = self._prep(self.params, mel)
-            tokens = self._decode(self.params, cache, self._prompt)
+            tokens, spent_cache = self._decode(self.params, cache, self._prompt)
+            del spent_cache  # aliases the donated prep cache; free it now
         ids = transcribe_tokens(tokens[:B], self.cfg,
                                 prompt_len=int(self._prompt.shape[0]))
         return [self.tokenizer.decode(row) for row in ids]

@@ -82,9 +82,12 @@ class StreamingTranscriber:
 
         def dec(params, cache, buf, plen):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
+            # return_cache lets the donated cache alias the loop carry
+            # (see greedy_decode_from_cache); _decode_window drops it.
             return greedy_decode_from_cache(params, cache, cfg, buf,
                                             lora=lora, lora_scale=lora_scale,
-                                            prompt_len=plen)
+                                            prompt_len=plen,
+                                            return_cache=True)
 
         self._prep = jax.jit(prep)
         self._dec = jax.jit(dec, donate_argnums=(1,))
@@ -117,7 +120,9 @@ class StreamingTranscriber:
         buf[0, self._p0:self._p0 + len(committed)] = committed
         plen = jnp.int32(self._p0 + len(committed))
         cache = self._prep(self.params, jnp.asarray(window))
-        tokens = self._dec(self.params, cache, jnp.asarray(buf), plen)
+        tokens, spent_cache = self._dec(self.params, cache,
+                                        jnp.asarray(buf), plen)
+        del spent_cache  # aliases the donated prep cache
         return transcribe_tokens(tokens, self.cfg, prompt_len=self._p0)[0]
 
     def _rollover(self) -> None:

@@ -717,7 +717,9 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     """One autoregressive step. tokens: [B] int32 at position `pos` (scalar).
 
     Returns (logits [B, V] fp32, updated cache). Shapes are static; safe
-    inside lax.while_loop.
+    inside lax.while_loop. The self cache may be allocated SHORTER than the
+    final sequence (segmented decode loops carry a growing prefix buffer);
+    callers guarantee pos < self_k.shape[3].
 
     `beam_width` K > 1 means rows are beam-major groups of K per sample
     (row b*K+k = sample b, beam k) and the cache's cross K/V hold ONE copy

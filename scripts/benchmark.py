@@ -107,6 +107,11 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
     from sar_tpu.models import whisper
     from sar_tpu.ops import mel as mel_ops
 
+    if scores_int8 and mesh is not None:
+        # Same guard as ASREvaluator: the fused s8 kernel has no SPMD rule.
+        print("warning: --attn_scores int8 is unsupported under a mesh; "
+              "using bf16 scores", file=sys.stderr)
+        scores_int8 = False
     prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
     total = min(len(cfg.prompt_ids("hindi")) + max_new_tokens,
                 cfg.max_target_positions)
@@ -114,8 +119,11 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
     audio = jnp.asarray(rng.standard_normal((batch, mel_ops.N_SAMPLES)) * 0.1,
                         jnp.float32)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        audio = jax.device_put(audio, NamedSharding(mesh, P("data", None)))
+        # Shard over ALL batch axes ("replica" + "data"): P("data", None)
+        # alone would duplicate compute per replica on a --dcn_dp mesh and
+        # overreport multi-slice RTFx.
+        from sar_tpu.parallel.distributed import put_global_batch
+        audio = put_global_batch(np.asarray(audio), mesh)
 
     flash = "hm" if jax.default_backend() == "tpu" else False
 
@@ -138,26 +146,57 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         feats = feats[:, :, :cfg.num_audio_frames]
         return whisper.encode(params, feats, cfg, flash=flash)
 
-    @partial(jax.jit, donate_argnums=(1,), static_argnums=(2,))
-    def dec(params, cache, s_int8):
+    # `prompt` is passed as an ARGUMENT to the jitted decoders, not closed
+    # over: a jnp array in a closure cell becomes a hoisted constant buffer,
+    # and jax 0.9's cpp-pjit fast path can then fail a repeat execution with
+    # "supplied 30 buffers but compiled program expected 31" when other
+    # jitted programs ran earlier in the process (e.g. an ASREvaluator).
+    @partial(jax.jit, donate_argnums=(1,), static_argnums=(3,))
+    def dec_with_cache(params, cache, prompt, s_int8):
+        # return_cache -> the donated cache aliases the loop carry.
         return greedy_decode_from_cache(params, cache, cfg, prompt,
-                                        scores_int8=s_int8)
+                                        scores_int8=s_int8, return_cache=True)
+
+    def dec(params, cache, s_int8):
+        tokens, spent = dec_with_cache(params, cache, prompt, s_int8)
+        del spent
+        return tokens
 
     @jax.jit
-    def dec_beam(params, enc):
+    def dec_beam(params, enc, prompt):
         return beam_decode(params, enc, cfg, prompt, num_beams=num_beams,
                            max_new_tokens=max_new_tokens,
                            cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
                            scores_int8=scores_int8)
 
+    # The timed callables are AOT-compiled (lower().compile()): jax 0.9's
+    # cpp-pjit fast path miscounts kept argument buffers for the beam
+    # program on repeat calls when other jitted programs ran earlier in the
+    # process ("Execution supplied 30 buffers but compiled program expected
+    # 31") — AOT executables bypass that path, and fixed executables are
+    # what a benchmark should time anyway.
     if num_beams > 1:
-        run = lambda: dec_beam(params, prep_enc(params, audio))
+        prep_enc_c = prep_enc.lower(params, audio).compile()
+        enc0 = prep_enc_c(params, audio)
+        dec_beam_c = dec_beam.lower(params, enc0, prompt).compile()
+
+        def run():
+            enc = prep_enc_c(params, audio)
+            return dec_beam_c(params, enc, prompt)
     else:
         # scores_int8 decodes from the head-minor (fused-kernel) cache.
-        run = lambda: dec(params, prep(params, audio, scores_int8),
-                          scores_int8)
+        prep_c = prep.lower(params, audio, scores_int8).compile()
+        cache0 = prep_c(params, audio)
+        dec_c = dec_with_cache.lower(params, cache0, prompt,
+                                     scores_int8).compile()
+        del cache0
 
-    np.asarray(run())                       # compile + warm
+        def run():
+            tokens, spent = dec_c(params, prep_c(params, audio), prompt)
+            del spent
+            return tokens
+
+    np.asarray(run())                       # warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()

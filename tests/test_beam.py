@@ -79,3 +79,25 @@ def test_beam_int8_kv(setup):
                     cross_kv_int8=True, self_kv_int8=True)
     agreement = (np.asarray(a) == np.asarray(b)).mean()
     assert agreement > 0.85, agreement
+
+
+def test_beam_segmented_matches_unsegmented(setup):
+    """segment>0 bounds the reorder gather + self-attention window per
+    static segment; tokens must be bit-identical to one unsegmented loop."""
+    cfg, params, enc, prompt = setup
+    ref = beam_decode(params, enc, cfg, prompt, num_beams=3,
+                      max_new_tokens=12, segment=0)
+    for seg in (2, 4, 7):
+        out = beam_decode(params, enc, cfg, prompt, num_beams=3,
+                          max_new_tokens=12, segment=seg)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out),
+                                      err_msg=f"segment={seg}")
+
+
+def test_beam_segmented_int8_matches(setup):
+    cfg, params, enc, prompt = setup
+    ref = beam_decode(params, enc, cfg, prompt, num_beams=2, max_new_tokens=10,
+                      cross_kv_int8=True, self_kv_int8=True, segment=0)
+    out = beam_decode(params, enc, cfg, prompt, num_beams=2, max_new_tokens=10,
+                      cross_kv_int8=True, self_kv_int8=True, segment=3)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

@@ -39,16 +39,68 @@ def test_greedy_scores_int8_high_agreement(setup, rng):
     assert agree >= 2, (s8, exact)
 
 
-def test_beam_scores_int8_runs(setup, rng):
+def test_beam_scores_int8_falls_back(setup, rng, caplog):
+    """beams + scores_int8 must NOT silently select the classic-layout s8
+    einsum (the un-MXU-mappable ~11.6 ms/token path): the evaluator warns
+    and decodes beams with bf16 scores, keeping int8 KV."""
+    import logging
     cfg, params, tok = setup
     mel = _mel(cfg, rng)
-    out = ASREvaluator(cfg, params, tok, language="english",
-                       max_new_tokens=6, num_beams=2,
-                       scores_int8=True)._transcribe_batch(mel)
+    with caplog.at_level(logging.WARNING):
+        ev = ASREvaluator(cfg, params, tok, language="english",
+                          max_new_tokens=6, num_beams=2, scores_int8=True)
+    assert ev.scores_int8 is False
+    assert ev.kv_int8 is True
+    assert any("beam" in r.message for r in caplog.records)
+    out = ev._transcribe_batch(mel)
     assert len(out) == 4 and all(isinstance(t, str) for t in out)
+    # And matches the plain beam+int8-KV evaluator exactly.
+    plain = ASREvaluator(cfg, params, tok, language="english",
+                         max_new_tokens=6,
+                         num_beams=2)._transcribe_batch(mel)
+    assert out == plain
+
+
+def test_mesh_scores_int8_falls_back(setup, rng, caplog):
+    """The fused s8 kernel has no SPMD partitioning rule; under a mesh the
+    evaluator reverts to bf16 scores instead of erroring/all-gathering."""
+    import logging
+    from sar_tpu.parallel.sharding import make_mesh
+    cfg, params, tok = setup
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    with caplog.at_level(logging.WARNING):
+        ev = ASREvaluator(cfg, params, tok, language="english",
+                          max_new_tokens=6, mesh=mesh, scores_int8=True)
+    assert ev.scores_int8 is False
+    assert any("mesh" in r.message for r in caplog.records)
+    out = ev._transcribe_batch(_mel(cfg, rng))
+    assert len(out) == 4
 
 
 def test_scores_int8_requires_int8_kv(setup):
     cfg, params, tok = setup
     with pytest.raises(ValueError, match="kv_int8"):
         ASREvaluator(cfg, params, tok, kv_int8=False, scores_int8=True)
+
+
+def test_s8_gate_harness(tmp_path):
+    """The promotion-gate harness (scripts/s8_gate.py) runs hermetically:
+    agreement matrix over both greedy drivers + logit-delta probe, JSON
+    verdict. On TPU the same harness exercises the fused kernel."""
+    import json
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        import s8_gate
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "gate.json"
+    rc = s8_gate.main(["--models", "whisper-test", "--batches", "2",
+                       "--max_new_tokens", "6", "--output", str(out)])
+    report = json.loads(out.read_text())
+    (cell,) = report["cells"]
+    assert set(cell) >= {"agreement_twophase", "agreement_direct",
+                         "max_logit_delta"}
+    assert report["backend"] == "cpu" and report["fused_kernel"] is False
+    assert rc in (0, 1)  # verdict, not a crash

@@ -167,3 +167,26 @@ def test_dynamic_prompt_len_matches_static(setup, rng):
     dyn = greedy_decode(params, enc, cfg, jnp.asarray(buf),
                         max_new_tokens=0, prompt_len=jnp.int32(P))
     np.testing.assert_array_equal(np.asarray(dyn), np.asarray(static))
+
+
+def test_greedy_segmented_matches_unsegmented(setup):
+    """segment>0 bounds each step's self-attention read to the segment's
+    static high-water mark; tokens must be bit-identical to segment=0."""
+    cfg, params = setup
+    rng = np.random.default_rng(31)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, cfg.num_mel_bins, cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    ref = greedy_decode(params, enc, cfg, prompt, max_new_tokens=12, segment=0)
+    for seg in (3, 5):
+        out = greedy_decode(params, enc, cfg, prompt, max_new_tokens=12,
+                            segment=seg)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out),
+                                      err_msg=f"segment={seg}")
+    # And with int8 KV (scale rows sliced alongside the cache).
+    ref8 = greedy_decode(params, enc, cfg, prompt, max_new_tokens=12,
+                         cross_kv_int8=True, self_kv_int8=True, segment=0)
+    out8 = greedy_decode(params, enc, cfg, prompt, max_new_tokens=12,
+                         cross_kv_int8=True, self_kv_int8=True, segment=4)
+    np.testing.assert_array_equal(np.asarray(ref8), np.asarray(out8))
