@@ -113,7 +113,6 @@ def make_multislice_mesh(dp: int = 1, tp: int = 1,
         raise ValueError(
             f"mesh {replicas}x{dp}x{tp} needs {want} devices but only "
             f"{len(devices)} are visible")
-    devices = devices[:want]
 
     n_slices = num_slices(devices)
     if n_slices > 1:
@@ -121,11 +120,26 @@ def make_multislice_mesh(dp: int = 1, tp: int = 1,
             raise ValueError(
                 f"replica axis ({replicas}) must be a multiple of the slice "
                 f"count ({n_slices}) so DCN traffic stays on the replica axis")
-        # Group each slice's devices contiguously, then slice-major reshape:
-        # replica strides across slices first, ("data","model") stay inside
-        # one slice -> TP/ICI never crosses DCN.
-        devices = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
-                                                 d.id))
+        # Select an EQUAL device count from every slice (a plain [:want]
+        # truncation could leave slices uneven and silently put the
+        # ("data","model") ICI axes across a DCN boundary), then group each
+        # slice contiguously: replica strides across slices first,
+        # ("data","model") stay inside one slice.
+        per_slice = want // n_slices
+        groups: dict[int, list] = {}
+        for d in sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
+                                                d.id)):
+            groups.setdefault(getattr(d, "slice_index", 0), []).append(d)
+        short = {s: len(g) for s, g in groups.items() if len(g) < per_slice}
+        if short:
+            raise ValueError(
+                f"mesh {replicas}x{dp}x{tp} needs {per_slice} devices from "
+                f"each of {n_slices} slices, but slices {sorted(short)} have "
+                f"only {short} — pick replicas/dp/tp to fit the smallest "
+                f"slice")
+        devices = [d for s in sorted(groups) for d in groups[s][:per_slice]]
+    else:
+        devices = devices[:want]
     arr = np.asarray(devices).reshape(replicas, dp, tp)
     return Mesh(arr, ("replica", "data", "model"))
 

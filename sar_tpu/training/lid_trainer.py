@@ -95,17 +95,28 @@ class LIDTrainer:
     def __init__(self, model_cfg: WhisperConfig, base_params: dict,
                  clf_params: dict, clf_cfg: clf.ClassifierConfig,
                  args: LIDTrainingArgs | None = None,
-                 callbacks: list | None = None):
+                 callbacks: list | None = None, mesh=None):
         self.cfg = model_cfg
         self.clf_cfg = clf_cfg
         self.args = args or LIDTrainingArgs()
         self.callbacks = callbacks or []
+        # Optional device mesh: the LID step's cost is dominated by the
+        # FROZEN encoder forward, so the same DPxTP sharding as ASRTrainer
+        # applies — base weights tensor-parallel, the (small) classifier
+        # head replicated, batches over the data axes.
+        self.mesh = mesh
         compute = (jnp.bfloat16 if self.args.mixed_precision in ("bf16", "fp16")
                    else jnp.float32)
         self.base_params = (whisper.cast_params(base_params, compute)
                             if compute != jnp.float32 else base_params)
         self.params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32),
                                    clf_params)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from sar_tpu.parallel.sharding import shard_params
+            self.base_params = shard_params(self.base_params, mesh)
+            self.params = jax.device_put(self.params,
+                                         NamedSharding(mesh, P()))
         self.tx, self.schedule = make_optimizer(
             learning_rate=self.args.learning_rate,
             weight_decay=self.args.weight_decay,
@@ -162,6 +173,23 @@ class LIDTrainer:
         self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def _put(self, x, batch_axis: int):
+        """Host batch -> device, sharded over the mesh's batch axes (same
+        contract as ASRTrainer._put)."""
+        x = np.asarray(x)
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from sar_tpu.parallel.distributed import (n_batch_shards,
+                                                  put_global_batch)
+        n_data = n_batch_shards(self.mesh)
+        if (x.shape[batch_axis] * jax.process_count()) % n_data:
+            raise ValueError(
+                f"batch axis {batch_axis} of shape {x.shape} not divisible "
+                f"by the mesh's batch shards ({n_data}); pick batch_size as "
+                f"a multiple of --dcn_dp x --dp")
+        return put_global_batch(x, self.mesh, batch_axis)
+
+    # ------------------------------------------------------------------
     def train(self, train_loader, eval_loader=None) -> dict:
         args = self.args
         for cb in self.callbacks:
@@ -174,8 +202,9 @@ class LIDTrainer:
         t0 = time.time()
         while self.global_step < args.max_steps:
             micro = [next(it) for _ in range(args.gradient_accumulation_steps)]
-            mels = jnp.asarray(np.stack([b["input_features"] for b in micro]))
-            labels = jnp.asarray(np.stack([b["language_ids"] for b in micro]))
+            # Batch axis is 1 (axis 0 is the accumulation scan).
+            mels = self._put(np.stack([b["input_features"] for b in micro]), 1)
+            labels = self._put(np.stack([b["language_ids"] for b in micro]), 1)
             self._rng, r = jax.random.split(self._rng)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, self.base_params, mels, labels, r)
@@ -209,12 +238,24 @@ class LIDTrainer:
         confusion = np.zeros((K, K), np.int64)
         losses = []
         for batch in eval_loader.one_epoch():
+            mels = np.asarray(batch["input_features"])
+            labels = np.asarray(batch["language_ids"])
+            B = mels.shape[0]
+            if self.mesh is not None:
+                # Pad partial batches to the batch-shard multiple; padded
+                # rows are sliced off before they touch the confusion matrix
+                # (they do enter the scalar eval_loss mean — accuracy, the
+                # decision metric, is unaffected).
+                from sar_tpu.parallel.distributed import n_batch_shards
+                pad = (-B) % n_batch_shards(self.mesh)
+                if pad:
+                    mels = np.pad(mels, [(0, pad)] + [(0, 0)] * (mels.ndim - 1))
+                    labels = np.pad(labels, (0, pad))
             loss, preds = self._eval_step(
                 self.params, self.base_params,
-                jnp.asarray(batch["input_features"]),
-                jnp.asarray(batch["language_ids"]))
+                self._put(mels, 0), self._put(labels, 0))
             losses.append(float(loss))
-            for t, p in zip(batch["language_ids"], np.asarray(preds)):
+            for t, p in zip(batch["language_ids"], np.asarray(preds)[:B]):
                 confusion[int(t), int(p)] += 1
         total = confusion.sum()
         acc = float(np.trace(confusion)) / max(total, 1)

@@ -72,6 +72,20 @@ def parse_args(argv=None):
     p.add_argument("--resume_from", type=str, default=None,
                    help="Checkpoint dir (train_router.py output or its "
                         "classifier/ subdir) to resume from")
+    # Parallelism (same mesh flags as train_lora/evaluate_model: the LID
+    # step is dominated by the frozen encoder forward, which shards the
+    # same way).
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel mesh axis (batch shards over it)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="Tensor-parallel mesh axis for the frozen encoder")
+    p.add_argument("--dcn_dp", type=int, default=1,
+                   help="Data parallelism across slices/hosts over DCN")
+    p.add_argument("--platform", type=str, default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="Pin the jax platform (cpu + "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "gives an N-device virtual mesh)")
     return p.parse_args(argv)
 
 
@@ -89,6 +103,9 @@ def main(argv=None):
     from sar_tpu.training import WandbCallback
     from sar_tpu.training.lid_trainer import (LIDDataset, LIDTrainer,
                                               LIDTrainingArgs)
+
+    if args.platform != "auto":
+        jax.config.update("jax_platforms", args.platform)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -161,8 +178,14 @@ def main(argv=None):
         mixed_precision=args.mixed_precision,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         encoder_layer=args.encoder_layer, seed=args.seed)
+    from sar_tpu.parallel.distributed import maybe_initialize_distributed
+    from sar_tpu.parallel.sharding import mesh_from_flags
+    maybe_initialize_distributed()
+    mesh = mesh_from_flags(args.dp, args.tp, args.dcn_dp)
+    if mesh is not None:
+        logger.info("LID training on mesh %s", mesh)
     trainer = LIDTrainer(cfg, params, clf_params, ccfg, targs,
-                         callbacks=callbacks)
+                         callbacks=callbacks, mesh=mesh)
     if args.resume_from:
         trainer.load_checkpoint(args.resume_from)
         logger.info("resumed from %s at step %d", args.resume_from,

@@ -197,3 +197,46 @@ def test_entry_traces(world):
     import __graft_entry__
     fn, args = __graft_entry__.entry()
     jax.eval_shape(fn, *args)
+
+
+def test_lid_trainer_on_mesh_matches_single_device(world):
+    """LIDTrainer(mesh=...) — train_router.py --dp/--tp — must reproduce the
+    single-device loss trajectory and final accuracy (the LID step is
+    dominated by the frozen encoder forward, sharded like ASRTrainer)."""
+    from sar_tpu.data.collate import LIDCollator
+    from sar_tpu.data.loader import DataLoader
+    from sar_tpu.data.synthetic import SyntheticASRDataset
+    from sar_tpu.models import classifier as clf
+    from sar_tpu.training.lid_trainer import (LIDDataset, LIDTrainer,
+                                              LIDTrainingArgs)
+
+    cfg, params = world
+    langs = ["english", "german"]
+    ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, hidden_dims=(32,),
+                                num_classes=2, dropout=0.0, languages=langs)
+    args = LIDTrainingArgs(learning_rate=5e-3, weight_decay=0.0,
+                           warmup_steps=2, max_steps=4, eval_steps=4,
+                           scheduler="constant", mixed_precision="no",
+                           gradient_accumulation_steps=2)
+
+    def run(mesh):
+        datasets = {l: SyntheticASRDataset(cfg, size=12, language=l,
+                                           language_id=i, seed=i)
+                    for i, l in enumerate(langs)}
+        ds = LIDDataset(datasets, langs)
+        loader = DataLoader(ds, batch_size=4, collator=LIDCollator(), seed=3)
+        # drop_last=False -> the final batch is PARTIAL, exercising the
+        # mesh padding path in evaluate().
+        eval_loader = DataLoader(ds, batch_size=9, collator=LIDCollator(),
+                                 shuffle=False, drop_last=False)
+        p = clf.init_classifier(jax.random.PRNGKey(5), ccfg)
+        t = LIDTrainer(cfg, params, p, ccfg, args, mesh=mesh)
+        hist = t.train(loader, eval_loader)
+        return hist["loss"], hist["eval"][-1]
+
+    loss_single, eval_single = run(None)
+    loss_mesh, eval_mesh = run(make_mesh(n_data=4, n_model=2))
+    np.testing.assert_allclose(loss_single, loss_mesh, atol=2e-4)
+    assert eval_single["accuracy"] == eval_mesh["accuracy"]
+    assert eval_single["confusion_matrix"] == eval_mesh["confusion_matrix"]
+    assert eval_single["num_samples"] == eval_mesh["num_samples"] == 24
