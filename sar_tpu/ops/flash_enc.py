@@ -81,7 +81,10 @@ def encoder_attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Key columns >= t_valid are masked; query rows >= t_valid are garbage
     (slice them off)."""
     B, T, D = q.shape
-    bq = BLOCK_Q if T % BLOCK_Q == 0 else T
+    # Largest divisor of T up to BLOCK_Q — falling back to the whole padded T
+    # would put a full [T, group] q-block plus the K/V slab in one grid cell
+    # and could blow VMEM for long non-256-multiple windows.
+    bq = next(b for b in range(min(BLOCK_Q, T), 0, -1) if T % b == 0)
     group = min(128, D)                              # lanes per grid cell
     hd = D // n_heads
     if D % group or group % hd:
