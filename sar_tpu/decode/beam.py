@@ -64,7 +64,9 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 scores_int8: bool = False,
                 suppress_ids: tuple[int, ...] = (),
                 begin_suppress_ids: tuple[int, ...] = (),
-                segment: int = 32) -> jnp.ndarray:
+                segment: int = 32,
+                timestamps: bool = False,
+                max_initial_timestamp_index: int | None = 1) -> jnp.ndarray:
     """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total];
     positions after the first EOS are EOS-filled.
 
@@ -146,22 +148,59 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
             params, flat_tok, pos, step_cache, cfg, lora=lora,
             adapter_idx=idx_k, lora_scale=lora_scale,
             scores_int8=scores_int8, beam_width=K)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        # Substrate beam mode masks the log-probs (no renormalization).
-        if suppress is not None:
-            logp = logp.at[:, suppress].set(NEG_INF)
-        if begin_suppress is not None:
-            masked = logp.at[:, begin_suppress].set(NEG_INF)
-            logp = jnp.where(pos == P - 1, masked, logp)
-        logp = logp.reshape(B, K, V)
-
+        # Two-stage exact top-2K (HF semantics: suppression masks log-probs
+        # WITHOUT renormalizing, so suppressed tokens still contribute
+        # softmax mass). Selection runs on raw logits — log_softmax is
+        # monotonic per row — and only the 2K survivors per beam are
+        # converted to log-probs via the row logsumexp. This avoids
+        # materializing the [B*K, V] log-prob matrix and shrinks the
+        # cross-beam sort from K*V to K*2K columns. Tie-breaking matches
+        # the single-stage top_k over [B, K*V]: candidates are beam-major,
+        # and within a beam stage-1 orders equal values by token index.
+        logits32 = logits.astype(jnp.float32)                  # [B*K, V]
         in_prompt = pos + 1 < P
+        if timestamps:
+            # HF beam mode runs every logits processor on the LOG-PROBS
+            # (generation/utils.py computes log_softmax first), so the
+            # timestamp grammar — including its internal re-softmax for
+            # the probability rule — must see logp, and the full [B*K, V]
+            # matrix is materialized on this path.
+            from sar_tpu.decode.timestamps import apply_timestamp_rules
+            logp = jax.nn.log_softmax(logits32, -1)
+            if suppress is not None:
+                logp = logp.at[:, suppress].set(NEG_INF)
+            if begin_suppress is not None:
+                masked = logp.at[:, begin_suppress].set(NEG_INF)
+                logp = jnp.where(pos == P - 1, masked, logp)
+            logp = apply_timestamp_rules(
+                logp, run_seqs.reshape(B * K, total), pos, P, cfg,
+                max_initial_timestamp_index=max_initial_timestamp_index)
+            acc = (run_scores[..., None]
+                   + logp.reshape(B, K, V)).reshape(B, K * V)
+            scores2k, idx2k = jax.lax.top_k(acc, K2)           # [B, 2K]
+            beam_src = idx2k // V
+            tok2k = (idx2k % V).astype(jnp.int32)
+        else:
+            # Two-stage exact top-2K (see block below): selection on raw
+            # logits, conversion via the row logsumexp on survivors only.
+            lse = jax.scipy.special.logsumexp(logits32, axis=-1)   # [B*K]
+            sel = logits32
+            if suppress is not None:
+                sel = sel.at[:, suppress].set(NEG_INF)
+            if begin_suppress is not None:
+                masked = sel.at[:, begin_suppress].set(NEG_INF)
+                sel = jnp.where(pos == P - 1, masked, sel)
+            vals, toks = jax.lax.top_k(sel, K2)                # [B*K, 2K]
+            logp2k = vals - lse[:, None]
 
-        # Top-2K continuations by accumulated log-prob.
-        acc = (run_scores[..., None] + logp).reshape(B, K * V)
-        scores2k, idx2k = jax.lax.top_k(acc, K2)               # [B, 2K]
-        beam_src = idx2k // V
-        tok2k = (idx2k % V).astype(jnp.int32)
+            # Top-2K continuations by accumulated log-prob, over the K*2K
+            # surviving (beam, token) candidates per sample.
+            acc = (run_scores.reshape(B * K)[:, None]
+                   + logp2k).reshape(B, K * K2)
+            scores2k, col2k = jax.lax.top_k(acc, K2)           # [B, 2K]
+            beam_src = col2k // K2
+            tok2k = jnp.take_along_axis(
+                toks.reshape(B, K * K2), col2k, axis=1).astype(jnp.int32)
 
         gather = (jnp.arange(B)[:, None] * K + beam_src).reshape(-1)
         cand_seqs = run_seqs.reshape(B * K, total)[gather].reshape(B, K2, total)

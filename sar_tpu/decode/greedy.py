@@ -34,7 +34,9 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   suppress_ids: tuple[int, ...] = (),
                   begin_suppress_ids: tuple[int, ...] = (),
                   prompt_len: jnp.ndarray | None = None,
-                  segment: int = 32) -> jnp.ndarray:
+                  segment: int = 32,
+                  timestamps: bool = False,
+                  max_initial_timestamp_index: int | None = 1) -> jnp.ndarray:
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -62,7 +64,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, scores_int8=scores_int8,
         suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
-        prompt_len=prompt_len, segment=segment)
+        prompt_len=prompt_len, segment=segment, timestamps=timestamps,
+        max_initial_timestamp_index=max_initial_timestamp_index)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -75,7 +78,9 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              begin_suppress_ids: tuple[int, ...] = (),
                              prompt_len: jnp.ndarray | None = None,
                              return_cache: bool = False,
-                             segment: int = 32):
+                             segment: int = 32,
+                             timestamps: bool = False,
+                             max_initial_timestamp_index: int | None = 1):
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
@@ -147,6 +152,11 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             masked = logits.at[:, begin_suppress].set(
                 jnp.finfo(jnp.float32).min)
             logits = jnp.where(first_gen, masked, logits)
+        if timestamps:
+            from sar_tpu.decode.timestamps import apply_timestamp_rules
+            logits = apply_timestamp_rules(
+                logits.astype(jnp.float32), tokens, pos, plen, cfg,
+                max_initial_timestamp_index=max_initial_timestamp_index)
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Prompt positions force the provided token; finished rows emit EOS.
         in_prompt = pos + 1 < plen

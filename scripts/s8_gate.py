@@ -26,7 +26,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def probe_logit_delta(cfg, params, mel, prompt, scores_int8_cache, exact_cache,
@@ -93,15 +97,21 @@ def run_cell(model: str, batch: int, max_new_tokens: int, probe: bool):
         return greedy_decode_from_cache(params, cache, cfg, prompt,
                                         scores_int8=s8)
 
-    # Driver 1: the evaluator's two-phase program pair.
-    _, cache_s8 = prep[0](params, audio)
-    _, cache_bf = prep[1](params, audio)
+    # Driver 1: the evaluator's two-phase program pair. Caches are built
+    # and freed ONE AT A TIME — two full caches plus the direct driver's
+    # internal one exceed HBM at whisper-medium/large batch sizes.
+    enc_s8, cache_s8 = prep[0](params, audio)
+    del enc_s8
     t0 = time.perf_counter()
     tok_s8 = np.asarray(dec(params, cache_s8, prompt, True))
     t_s8 = time.perf_counter() - t0
+    del cache_s8
+    enc_bf, cache_bf = prep[1](params, audio)
+    del enc_bf
     t0 = time.perf_counter()
     tok_bf = np.asarray(dec(params, cache_bf, prompt, False))
     t_bf = time.perf_counter() - t0
+    del cache_bf
     agree_twophase = float((tok_s8 == tok_bf).all(axis=1).mean())
 
     # Driver 2: the direct single-program greedy_decode (transcribe path).
@@ -111,9 +121,11 @@ def run_cell(model: str, batch: int, max_new_tokens: int, probe: bool):
                              max_new_tokens=max_new_tokens,
                              cross_kv_int8=True, self_kv_int8=True,
                              scores_int8=s8)
-    enc, _ = prep[0](params, audio)
+    enc, spare = prep[0](params, audio)
+    del spare
     d_s8 = np.asarray(direct(params, enc, prompt, True))
     d_bf = np.asarray(direct(params, enc, prompt, False))
+    del enc
     agree_direct = float((d_s8 == d_bf).all(axis=1).mean())
 
     cell = {

@@ -40,6 +40,10 @@ def parse_args(argv=None):
                    help="LoRA adapter dir (train_lora.py output)")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--timestamps", action="store_true",
+                   help="Decode with Whisper's timestamp grammar (HF "
+                        "return_timestamps parity) and print "
+                        "'[start -> end] text' segments")
     p.add_argument("--longform", action="store_true",
                    help="Chunked transcription (auto for clips > 30 s)")
     p.add_argument("--chunk_seconds", type=float, default=30.0)
@@ -83,6 +87,10 @@ def main(argv=None):
             logger.warning("--num_beams only applies to single-window "
                            "decoding; %s uses greedy",
                            "streaming" if args.streaming else "long-form")
+        if args.timestamps and (args.streaming or long):
+            logger.warning("--timestamps applies to single-window decoding; "
+                           "ignored for %s",
+                           "streaming" if args.streaming else "long-form")
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
@@ -120,24 +128,40 @@ def main(argv=None):
                                    overlap_seconds=args.overlap_seconds,
                                    lora=lora, lora_scale=lora_scale)
             print(text)
-        elif args.num_beams > 1:
+        elif args.num_beams > 1 or args.timestamps:
             from sar_tpu.decode import transcribe_tokens
             from sar_tpu.decode.beam import beam_decode
+            from sar_tpu.decode.greedy import greedy_decode
             from sar_tpu.models import whisper
-            import jax
             padded = mel_ops.stack_pad_audio([audio])
             feats = mel_ops.log_mel_spectrogram(
                 jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
             feats = feats[:, :, :cfg.num_audio_frames]
             enc = whisper.encode(params, feats, cfg, lora=lora,
                                  lora_scale=lora_scale)
-            prompt = jnp.asarray(cfg.prompt_ids(args.language), jnp.int32)
-            tokens = beam_decode(params, enc, cfg, prompt,
-                                 num_beams=args.num_beams,
-                                 max_new_tokens=args.max_new_tokens,
-                                 lora=lora, lora_scale=lora_scale)
+            # --timestamps drops <|notimestamps|> from the prompt and turns
+            # on the timestamp grammar inside the compiled loop.
+            prompt = jnp.asarray(
+                cfg.prompt_ids(args.language,
+                               no_timestamps=not args.timestamps), jnp.int32)
+            if args.num_beams > 1:
+                tokens = beam_decode(params, enc, cfg, prompt,
+                                     num_beams=args.num_beams,
+                                     max_new_tokens=args.max_new_tokens,
+                                     lora=lora, lora_scale=lora_scale,
+                                     timestamps=args.timestamps)
+            else:
+                tokens = greedy_decode(params, enc, cfg, prompt,
+                                       max_new_tokens=args.max_new_tokens,
+                                       lora=lora, lora_scale=lora_scale,
+                                       timestamps=args.timestamps)
             ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
-            text = tokenizer.decode(ids[0])
+            if args.timestamps:
+                from sar_tpu.decode.timestamps import (format_segments,
+                                                       split_segments)
+                text = format_segments(split_segments(ids[0], cfg), tokenizer)
+            else:
+                text = tokenizer.decode(ids[0])
             print(text)
         else:
             from sar_tpu.evaluation.evaluator import transcribe_audio
