@@ -36,7 +36,10 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   prompt_len: jnp.ndarray | None = None,
                   segment: int = 32,
                   timestamps: bool = False,
-                  max_initial_timestamp_index: int | None = 1) -> jnp.ndarray:
+                  max_initial_timestamp_index: int | None = 1,
+                  temperature: float = 0.0,
+                  rng: jnp.ndarray | None = None,
+                  with_logprobs: bool = False):
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -65,7 +68,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         lora_scale=lora_scale, scores_int8=scores_int8,
         suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
         prompt_len=prompt_len, segment=segment, timestamps=timestamps,
-        max_initial_timestamp_index=max_initial_timestamp_index)
+        max_initial_timestamp_index=max_initial_timestamp_index,
+        temperature=temperature, rng=rng, with_logprobs=with_logprobs)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -80,7 +84,10 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              return_cache: bool = False,
                              segment: int = 32,
                              timestamps: bool = False,
-                             max_initial_timestamp_index: int | None = 1):
+                             max_initial_timestamp_index: int | None = 1,
+                             temperature: float = 0.0,
+                             rng: jnp.ndarray | None = None,
+                             with_logprobs: bool = False):
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
@@ -106,7 +113,19 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     step's self-attention streams only ~the valid prefix instead of all
     `total` rows — the buffers ARE the prefix; no per-step slicing, so the
     while carry still updates in place. Tokens are identical to segment=0;
-    compile time grows with total/segment."""
+    compile time grows with total/segment.
+
+    Passing `rng` enables sampling: each step draws from
+    softmax(logits/temperature) (after all masks) via the Gumbel-max
+    identity argmax(logits + T*gumbel), with per-step keys folded from
+    `rng`. `temperature` is a TRACED scalar, so one compiled program
+    serves every temperature — and T=0.0 reproduces greedy argmax exactly
+    (the openai temperature-fallback driver rides this). `with_logprobs`
+    additionally returns (sum_logprobs [B] fp32, n_scored [B] int32): the
+    accumulated log_softmax of each CHOSEN generated token, including the
+    first EOS (openai's sum_logprobs convention; avg = sum / n_scored).
+    Returns tokens, then (sum_logprobs, n_scored) if requested, then the
+    cache if `return_cache` — flat tuple in that order."""
     B = cache.cross_k.shape[1]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
@@ -130,14 +149,22 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     mutable0 = (cache.self_k, cache.self_v,
                 cache.self_k_scale, cache.self_v_scale)
 
+    # Sampling is enabled by PASSING `rng` (a static program property);
+    # `temperature` itself rides as a traced scalar, so one compiled
+    # program serves every temperature — including exact greedy at 0.0 via
+    # the Gumbel-max identity argmax(logits + T*gumbel) ~ softmax(l/T).
+    if rng is None and not (isinstance(temperature, (int, float))
+                            and temperature == 0.0):
+        raise ValueError("temperature > 0 requires an rng key")
+
     def make_cond(pos_hi):
         def cond(state):
-            pos, _, _, finished = state
+            pos, _, _, finished, *_ = state
             return (pos < pos_hi) & ~jnp.all(finished)
         return cond
 
     def body(state):
-        pos, tokens, mutable, finished = state
+        pos, tokens, mutable, finished, sum_lp, n_sc = state
         sk, sv, sks, svs = mutable
         step_cache = cross._replace(self_k=sk, self_v=sv,
                                     self_k_scale=sks, self_v_scale=svs)
@@ -157,17 +184,34 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             logits = apply_timestamp_rules(
                 logits.astype(jnp.float32), tokens, pos, plen, cfg,
                 max_initial_timestamp_index=max_initial_timestamp_index)
-        sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if rng is not None:
+            step_key = jax.random.fold_in(rng, pos)
+            u = jax.random.uniform(step_key, logits.shape, jnp.float32,
+                                   minval=jnp.finfo(jnp.float32).tiny)
+            gumbel = -jnp.log(-jnp.log(u))
+            t = jnp.asarray(temperature, jnp.float32)
+            sampled = jnp.argmax(
+                logits.astype(jnp.float32) + t * gumbel, -1).astype(jnp.int32)
+        else:
+            sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Prompt positions force the provided token; finished rows emit EOS.
         in_prompt = pos + 1 < plen
         forced = jax.lax.dynamic_slice_in_dim(
             tokens, jnp.minimum(pos + 1, total - 1), 1, axis=1)[:, 0]
         nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))
+        if with_logprobs:
+            # log-prob of the CHOSEN token at untempered softmax (openai
+            # scores at temperature 1 regardless of the sampling T).
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            step_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+            score = ~in_prompt & ~finished
+            sum_lp = sum_lp + jnp.where(score, step_lp, 0.0)
+            n_sc = n_sc + score.astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = finished | (~in_prompt & (nxt == eos))
         mutable = (step_cache.self_k, step_cache.self_v,
                    step_cache.self_k_scale, step_cache.self_v_scale)
-        return pos + 1, tokens, mutable, finished
+        return pos + 1, tokens, mutable, finished, sum_lp, n_sc
 
     def tslice(x, hi):
         """Prefix of the time axis (axis 3 for both [L,B,H,T,hd] K/V and
@@ -189,20 +233,26 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         hi = min(segment, total)
         state = (jnp.int32(0), tokens,
                  tuple(tslice(x, hi) for x in mutable0),
-                 jnp.zeros((B,), bool))
+                 jnp.zeros((B,), bool),
+                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32))
         for s in range(n_seg):
             pos_hi = min((s + 1) * segment, total - 1)
             state = jax.lax.while_loop(make_cond(pos_hi), body, state)
             if s + 1 < n_seg:
                 next_hi = min((s + 2) * segment, total)
-                pos, tokens, mutable, fin = state
+                pos, tokens, mutable, fin, sum_lp, n_sc = state
                 state = (pos, tokens,
-                         tuple(tpad(x, next_hi - hi) for x in mutable), fin)
+                         tuple(tpad(x, next_hi - hi) for x in mutable), fin,
+                         sum_lp, n_sc)
                 hi = next_hi
     else:
-        state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool))
+        state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool),
+                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32))
         state = jax.lax.while_loop(make_cond(total - 1), body, state)
-    _, tokens, mutable, _ = state
+    _, tokens, mutable, _, sum_lp, n_sc = state
+    out = (tokens,)
+    if with_logprobs:
+        out += (sum_lp, n_sc)
     if return_cache:
         sk, sv, sks, svs = mutable
         if sk is not None and sk.shape[3] < total:
@@ -211,9 +261,9 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             # input can alias the output.
             delta = total - sk.shape[3]
             sk, sv, sks, svs = (tpad(x, delta) for x in (sk, sv, sks, svs))
-        return tokens, cross._replace(self_k=sk, self_v=sv,
-                                      self_k_scale=sks, self_v_scale=svs)
-    return tokens
+        out += (cross._replace(self_k=sk, self_v=sv,
+                               self_k_scale=sks, self_v_scale=svs),)
+    return out if len(out) > 1 else tokens
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -1,0 +1,131 @@
+"""Temperature-fallback transcription (openai-whisper's robust decode).
+
+openai/whisper's `transcribe` decodes each window greedily first, then
+retries at increasing sampling temperatures when the result looks
+degenerate (decoding.py / transcribe.py in openai-whisper):
+
+  - compression_ratio > compression_ratio_threshold (2.4): the text is so
+    repetitive that gzip crushes it — the classic repetition loop.
+  - avg_logprob < logprob_threshold (-1.0): the model was guessing.
+
+Neither the reference nor plain HF short-form generate has this; HF ports
+it only inside its long-form loop. Here it is a standalone batch driver
+over the compiled decode programs: one prep per temperature pass (the
+decode donates its cache), full-batch redecode per escalation step with
+results accepted only for still-failing rows — static shapes, so every
+temperature reuses the same two compiled programs.
+
+The no_speech_threshold criterion requires the <|nospeech|> probability at
+the first step; Whisper checkpoints expose that token but the criterion
+only matters for silence gating in long-form — documented out of scope.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def compression_ratio(text: str) -> float:
+    """openai-whisper's definition: utf-8 length / zlib-compressed length."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def needs_retry(text: str, avg_logprob: float, *,
+                compression_ratio_threshold: float | None = 2.4,
+                logprob_threshold: float | None = -1.0) -> bool:
+    """openai transcribe.py's needs_fallback logic (thresholds None = off)."""
+    if (compression_ratio_threshold is not None
+            and compression_ratio(text) > compression_ratio_threshold):
+        return True
+    if (logprob_threshold is not None and avg_logprob < logprob_threshold):
+        return True
+    return False
+
+
+def transcribe_batch_with_fallback(
+        cfg, params, mel, tokenizer, *, language: str = "hindi",
+        max_new_tokens: int = 256,
+        temperatures=DEFAULT_TEMPERATURES,
+        compression_ratio_threshold: float | None = 2.4,
+        logprob_threshold: float | None = -1.0,
+        lora=None, lora_scale: float = 1.0,
+        kv_int8: bool = True, flash: str | bool = "auto",
+        seed: int = 0):
+    """Transcribe a mel batch [B, n_mels, frames] with temperature fallback.
+
+    Returns (texts, info) where info is a list of per-sample dicts:
+    {"temperature", "avg_logprob", "compression_ratio"} for the ACCEPTED
+    result. Rows that fail every temperature keep the last (highest-T)
+    result, like openai's transcribe."""
+    from functools import partial
+
+    from sar_tpu.decode.greedy import (greedy_decode_from_cache,
+                                       transcribe_tokens)
+    from sar_tpu.models import whisper
+
+    use_flash = (("hm" if jax.default_backend() == "tpu" else False)
+                 if flash == "auto" else flash)
+    prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
+    total = min(prompt.shape[0] + max_new_tokens, cfg.max_target_positions)
+
+    @jax.jit
+    def prep(params, mel):
+        enc = whisper.encode(params, mel, cfg, lora=lora,
+                             lora_scale=lora_scale, flash=use_flash)
+        return whisper.init_cache(params, enc, cfg, max_len=total, lora=lora,
+                                  lora_scale=lora_scale,
+                                  cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
+
+    # temperature is a TRACED scalar (Gumbel-max in the loop): one compiled
+    # decode program serves every escalation step, T=0.0 included.
+    @partial(jax.jit, donate_argnums=(1,))
+    def dec(params, cache, prompt, rng, temperature):
+        tokens, sum_lp, n_sc, spent = greedy_decode_from_cache(
+            params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
+            temperature=temperature, rng=rng, with_logprobs=True,
+            return_cache=True)
+        return tokens, sum_lp, n_sc, spent
+
+    mel = jnp.asarray(mel)
+    B = mel.shape[0]
+    base_key = jax.random.PRNGKey(seed)
+    texts: list[str | None] = [None] * B
+    info: list[dict | None] = [None] * B
+    pending = list(range(B))
+
+    for t_idx, temperature in enumerate(temperatures):
+        cache = prep(params, mel)
+        rng = jax.random.fold_in(base_key, t_idx)
+        tokens, sum_lp, n_sc, spent = dec(params, cache, prompt, rng,
+                                          jnp.float32(temperature))
+        del spent
+        ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
+        sum_lp = np.asarray(sum_lp)
+        n_sc = np.asarray(n_sc)
+        still = []
+        for b in pending:
+            text = tokenizer.decode(ids[b])
+            avg_lp = float(sum_lp[b] / max(int(n_sc[b]), 1))
+            row = {"temperature": float(temperature),
+                   "avg_logprob": avg_lp,
+                   "compression_ratio": compression_ratio(text)}
+            texts[b], info[b] = text, row
+            last = t_idx == len(temperatures) - 1
+            if not last and needs_retry(
+                    text, avg_lp,
+                    compression_ratio_threshold=compression_ratio_threshold,
+                    logprob_threshold=logprob_threshold):
+                still.append(b)
+        pending = still
+        if not pending:
+            break
+    return texts, info

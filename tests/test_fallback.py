@@ -1,0 +1,115 @@
+"""Sampled decoding + openai-style temperature fallback.
+
+The reference (and HF short-form generate) has no fallback path; parity
+target is openai-whisper's transcribe loop: greedy first, escalate through
+sampling temperatures while the result is degenerate (compression ratio /
+avg logprob thresholds). Sampling rides the Gumbel-max identity with a
+TRACED temperature, so T=0.0 must be bit-identical to plain greedy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sar_tpu.decode.greedy import greedy_decode
+from sar_tpu.evaluation.fallback import (compression_ratio, needs_retry,
+                                         transcribe_batch_with_fallback)
+from sar_tpu.models import whisper
+from sar_tpu.models.config import get_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal(
+        (3, cfg.num_mel_bins, cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    return cfg, params, mel, enc
+
+
+def test_temperature_zero_is_greedy(setup):
+    cfg, params, _, enc = setup
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    plain = greedy_decode(params, enc, cfg, prompt, max_new_tokens=10)
+    sampled = greedy_decode(params, enc, cfg, prompt, max_new_tokens=10,
+                            temperature=jnp.float32(0.0),
+                            rng=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sampled))
+
+
+def test_sampling_deterministic_and_varies(setup):
+    cfg, params, _, enc = setup
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+
+    def run(seed, t):
+        return np.asarray(greedy_decode(
+            params, enc, cfg, prompt, max_new_tokens=12,
+            temperature=jnp.float32(t), rng=jax.random.PRNGKey(seed)))
+
+    a, b = run(1, 1.0), run(1, 1.0)
+    np.testing.assert_array_equal(a, b)          # same key -> same draw
+    c = run(2, 1.0)
+    assert (a != c).any(), "different keys produced identical samples"
+
+
+def test_with_logprobs_accounting(setup):
+    cfg, params, _, enc = setup
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    tokens, sum_lp, n_sc = greedy_decode(params, enc, cfg, prompt,
+                                         max_new_tokens=8,
+                                         with_logprobs=True)
+    tokens, sum_lp, n_sc = (np.asarray(x) for x in (tokens, sum_lp, n_sc))
+    P = prompt.shape[0]
+    for b in range(tokens.shape[0]):
+        body = list(tokens[b, P:])
+        gen = (body.index(cfg.eos_token_id) + 1
+               if cfg.eos_token_id in body else len(body))
+        # openai convention: every chosen token incl. the first EOS scores.
+        assert int(n_sc[b]) == gen, (b, n_sc[b], gen)
+        assert sum_lp[b] <= 0.0
+
+
+def test_compression_ratio_and_needs_retry():
+    loop = "la la la la la la la la la la la la la la la la"
+    assert compression_ratio(loop) > compression_ratio("the quick brown fox")
+    assert needs_retry(loop * 8, -0.1)                # repetitive
+    assert needs_retry("ok text", -5.0)               # low confidence
+    assert not needs_retry("ok text", -0.1)
+    assert not needs_retry(loop * 8, -5.0,
+                           compression_ratio_threshold=None,
+                           logprob_threshold=None)    # thresholds off
+
+
+class _Tok:
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_fallback_accepts_first_pass(setup):
+    cfg, params, mel, _ = setup
+    texts, info = transcribe_batch_with_fallback(
+        cfg, params, mel, _Tok(), language="english", max_new_tokens=6,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        flash=False, kv_int8=True)
+    assert all(i["temperature"] == 0.0 for i in info)
+    # and equals plain greedy text
+    from sar_tpu.decode.greedy import transcribe_tokens
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    ref = greedy_decode(params, enc, cfg, prompt, max_new_tokens=6,
+                        cross_kv_int8=True, self_kv_int8=True)
+    ids = transcribe_tokens(ref, cfg, prompt_len=int(prompt.shape[0]))
+    assert texts == [_Tok().decode(r) for r in ids]
+
+
+def test_fallback_escalates_to_last_temperature(setup):
+    cfg, params, mel, _ = setup
+    texts, info = transcribe_batch_with_fallback(
+        cfg, params, mel, _Tok(), language="english", max_new_tokens=6,
+        temperatures=(0.0, 0.5, 1.0),
+        logprob_threshold=1e9,        # impossible -> every pass "fails"
+        compression_ratio_threshold=None, flash=False)
+    assert all(i["temperature"] == 1.0 for i in info)
+    assert all(isinstance(t, str) for t in texts)
