@@ -411,6 +411,70 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
                    preferred_element_type=jnp.float32)
 
 
+def decode_cross_attn(params: Params, enc_out: jnp.ndarray,
+                      tokens: jnp.ndarray, cfg: WhisperConfig, *,
+                      heads: tuple[tuple[int, int], ...],
+                      lora: Params | None = None,
+                      adapter_idx: jnp.ndarray | None = None,
+                      lora_scale: float = 1.0) -> jnp.ndarray:
+    """Teacher-forced decoder forward returning the cross-attention
+    probabilities of the selected (layer, head) pairs: [B, len(heads), T, S]
+    fp32, ordered like `heads`.
+
+    The alignment capture for word-level timestamps (openai-whisper
+    timing.find_alignment installs QK hooks; here the probs are first-class
+    outputs of one jitted pass). Python-unrolled over layers — L is static
+    and small, and unrolling keeps only the selected heads' maps live where
+    a lax.scan would stack all L*H of them. The math mirrors
+    _dec_layer_apply exactly (exact jnp attention; the flash kernels never
+    materialize probabilities, so they cannot serve this path).
+    """
+    dec = params["decoder"]
+    dtype = enc_out.dtype
+    T = tokens.shape[1]
+    x = dec["token_embed"][tokens].astype(dtype) + dec["pos_embed"][:T].astype(dtype)
+    causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    ctx = LoraCtx(adapter_idx, lora_scale, 0.0, None)
+    dec_lora = lora.get("decoder") if lora else None
+    H = cfg.decoder_heads
+    scaling = (cfg.d_model // H) ** -0.5
+    by_layer: dict[int, list[int]] = {}
+    for idx, (l, h) in enumerate(heads):
+        by_layer.setdefault(l, []).append((idx, h))
+    captured: list[jnp.ndarray | None] = [None] * len(heads)
+    for li in range(cfg.decoder_layers):
+        p = jax.tree.map(lambda a, li=li: a[li], dec["layers"])
+        lo = (jax.tree.map(lambda a, li=li: a[li], dec_lora)
+              if dec_lora is not None else {})
+        lctx = _layer_ctx(ctx, li)
+        # Self-attention (causal) — identical to _dec_layer_apply.
+        h_ = layer_norm(x, p["self_ln"]["scale"], p["self_ln"]["bias"])
+        q = _proj(h_, p["self_q"], lo.get("self_q"), lctx, 0) * scaling
+        k = _proj(h_, p["self_k"], lo.get("self_k"), lctx, 1)
+        v = _proj(h_, p["self_v"], lo.get("self_v"), lctx, 2)
+        a = _mha(split_heads(q, H), split_heads(k, H), split_heads(v, H),
+                 causal, causal=True)
+        x = x + _proj(merge_heads(a), p["self_o"], lo.get("self_o"), lctx, 3)
+        # Cross-attention, probabilities captured.
+        h_ = layer_norm(x, p["cross_ln"]["scale"], p["cross_ln"]["bias"])
+        q = _proj(h_, p["cross_q"], lo.get("cross_q"), lctx, 4) * scaling
+        k = _proj(enc_out, p["cross_k"], lo.get("cross_k"), lctx, 5)
+        v = _proj(enc_out, p["cross_v"], lo.get("cross_v"), lctx, 6)
+        qh, kh, vh = (split_heads(t, H) for t in (q, k, v))
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        for idx, hh in by_layer.get(li, ()):
+            captured[idx] = probs[:, hh]
+        a = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(qh.dtype), vh)
+        x = x + _proj(merge_heads(a), p["cross_o"], lo.get("cross_o"), lctx, 7)
+        # MLP.
+        h_ = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
+        h_ = jax.nn.gelu(linear(h_, p["fc1"]), approximate=False)
+        x = x + linear(h_, p["fc2"])
+    return jnp.stack(captured, axis=1)
+
+
 def forward(params: Params, mel: jnp.ndarray, tokens: jnp.ndarray,
             cfg: WhisperConfig, *, dropout_rng: jax.Array | None = None,
             **kw) -> jnp.ndarray:

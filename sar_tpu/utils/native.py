@@ -21,7 +21,7 @@ _lib = None
 _tried = False
 
 
-_SOURCES = ("edit_distance.cpp", "resample.cpp")
+_SOURCES = ("edit_distance.cpp", "resample.cpp", "dtw.cpp")
 
 
 def _load():
@@ -56,6 +56,11 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.dtw_path_f32.restype = ctypes.c_int64
+        lib.dtw_path_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
         _lib = lib
     except Exception as e:  # no compiler / unwritable dir -> numpy fallback
         logger.info("native components unavailable (%s); using numpy", e)
@@ -91,6 +96,28 @@ def batch_edit_distance(a_seqs: list[np.ndarray],
         b_flat.ctypes.data_as(i32p), b_off.ctypes.data_as(i64p),
         len(a_seqs), out.ctypes.data_as(i64p))
     return out
+
+
+def dtw(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Monotone min-cost DTW path through cost[N, M] (native/dtw.cpp);
+    returns (row_indices, col_indices) in forward order, or None if the
+    native lib is missing (callers fall back to the numpy DP —
+    sar_tpu.decode.align._dtw_numpy, same tie-breaking)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cost = np.ascontiguousarray(cost, np.float32)
+    n, m = cost.shape
+    cap = n + m
+    ti = np.empty(cap, np.int32)
+    tj = np.empty(cap, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ln = lib.dtw_path_f32(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, m,
+        ti.ctypes.data_as(i32p), tj.ctypes.data_as(i32p), cap)
+    if ln < 0:
+        return None
+    return ti[:ln], tj[:ln]
 
 
 def resample_poly(audio: np.ndarray, taps: np.ndarray, L: int,

@@ -10,6 +10,9 @@ plus the capabilities the reference lacks entirely:
 
 - default: 30 s window, compiled KV-cached greedy decode
 - --num_beams N: compiled beam search
+- --timestamps: segment-level timestamps (HF return_timestamps parity)
+- --word_timestamps: per-word times via cross-attention DTW alignment
+- --fallback: openai-style temperature fallback on degenerate output
 - --longform: arbitrary-length audio via chunked transcription
   (sar_tpu.evaluation.longform; auto-selected for clips > 30 s)
 - --streaming: simulate a live stream from the file, printing the committed
@@ -44,6 +47,15 @@ def parse_args(argv=None):
                    help="Decode with Whisper's timestamp grammar (HF "
                         "return_timestamps parity) and print "
                         "'[start -> end] text' segments")
+    p.add_argument("--word_timestamps", action="store_true",
+                   help="Per-word start/end times via cross-attention DTW "
+                        "alignment (openai add_word_timestamps parity); "
+                        "prints '[start -> end] word' lines")
+    p.add_argument("--fallback", action="store_true",
+                   help="openai-style temperature fallback: greedy first, "
+                        "resample at rising temperatures while the result "
+                        "is degenerate (compression ratio > 2.4 or avg "
+                        "logprob < -1.0)")
     p.add_argument("--longform", action="store_true",
                    help="Chunked transcription (auto for clips > 30 s)")
     p.add_argument("--chunk_seconds", type=float, default=30.0)
@@ -91,6 +103,14 @@ def main(argv=None):
             logger.warning("--timestamps applies to single-window decoding; "
                            "ignored for %s",
                            "streaming" if args.streaming else "long-form")
+        if args.fallback and (args.streaming or long or args.num_beams > 1
+                              or args.timestamps):
+            logger.warning("--fallback applies to single-window greedy "
+                           "decoding; ignored here")
+        if args.word_timestamps and (args.streaming or long or args.timestamps
+                                     or args.fallback):
+            logger.warning("--word_timestamps applies to single-window "
+                           "plain-text decoding; ignored here")
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
@@ -128,7 +148,7 @@ def main(argv=None):
                                    overlap_seconds=args.overlap_seconds,
                                    lora=lora, lora_scale=lora_scale)
             print(text)
-        elif args.num_beams > 1 or args.timestamps:
+        elif args.num_beams > 1 or args.timestamps or args.word_timestamps:
             from sar_tpu.decode import transcribe_tokens
             from sar_tpu.decode.beam import beam_decode
             from sar_tpu.decode.greedy import greedy_decode
@@ -162,6 +182,32 @@ def main(argv=None):
                 text = format_segments(split_segments(ids[0], cfg), tokenizer)
             else:
                 text = tokenizer.decode(ids[0])
+            print(text)
+            if args.word_timestamps and not args.timestamps:
+                from sar_tpu.decode.align import align_words
+                n_frames = min(-(-len(audio) // (2 * mel_ops.HOP_LENGTH)),
+                               cfg.max_source_positions)
+                words = align_words(
+                    params, feats, tokens, cfg, tokenizer,
+                    prompt_len=int(prompt.shape[0]), lora=lora,
+                    lora_scale=lora_scale, enc_out=enc,
+                    num_frames=[n_frames])[0]
+                for w in words:
+                    print(f"[{w['start']:6.2f} -> {w['end']:6.2f}] {w['word']}")
+        elif args.fallback:
+            from sar_tpu.evaluation.fallback import \
+                transcribe_batch_with_fallback
+            padded = mel_ops.stack_pad_audio([audio])
+            feats = mel_ops.log_mel_spectrogram(
+                jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
+            feats = feats[:, :, :cfg.num_audio_frames]
+            (text,), (row,) = transcribe_batch_with_fallback(
+                cfg, params, feats, tokenizer, language=args.language,
+                max_new_tokens=args.max_new_tokens,
+                lora=lora, lora_scale=lora_scale)
+            logger.info("accepted at T=%.1f (avg_logprob %.3f, "
+                        "compression %.2f)", row["temperature"],
+                        row["avg_logprob"], row["compression_ratio"])
             print(text)
         else:
             from sar_tpu.evaluation.evaluator import transcribe_audio

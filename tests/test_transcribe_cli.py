@@ -86,3 +86,24 @@ def test_transcribe_timestamps(wav, capsys):
     cfg = MODEL_CONFIGS["whisper-test"]
     out = capsys.readouterr().out
     assert results[wav] == "" or "[" in out or "[" in results[wav]
+
+
+def test_transcribe_word_timestamps(wav, capsys):
+    """--word_timestamps prints one '[start -> end] word' line per aligned
+    word; times are monotone and the words re-join the transcript."""
+    import re
+
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8",
+                               "--word_timestamps"])
+    assert isinstance(results[wav], str)
+    out = capsys.readouterr().out
+    lines = re.findall(r"\[\s*([0-9.]+) -> \s*([0-9.]+)\] (.*)", out)
+    starts = [float(a) for a, _, _ in lines]
+    assert starts == sorted(starts)
+    for a, b, _ in lines:
+        assert float(a) <= float(b)
+    joined = "".join(w for _, _, w in lines)
+    assert "".join(joined.split()) == "".join(results[wav].split())
