@@ -39,7 +39,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   max_initial_timestamp_index: int | None = 1,
                   temperature: float = 0.0,
                   rng: jnp.ndarray | None = None,
-                  with_logprobs: bool = False):
+                  with_logprobs: bool = False,
+                  with_no_speech: bool = False):
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -69,7 +70,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         suppress_ids=suppress_ids, begin_suppress_ids=begin_suppress_ids,
         prompt_len=prompt_len, segment=segment, timestamps=timestamps,
         max_initial_timestamp_index=max_initial_timestamp_index,
-        temperature=temperature, rng=rng, with_logprobs=with_logprobs)
+        temperature=temperature, rng=rng, with_logprobs=with_logprobs,
+        with_no_speech=with_no_speech)
 
 
 def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
@@ -87,7 +89,8 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              max_initial_timestamp_index: int | None = 1,
                              temperature: float = 0.0,
                              rng: jnp.ndarray | None = None,
-                             with_logprobs: bool = False):
+                             with_logprobs: bool = False,
+                             with_no_speech: bool = False):
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
@@ -124,8 +127,12 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     additionally returns (sum_logprobs [B] fp32, n_scored [B] int32): the
     accumulated log_softmax of each CHOSEN generated token, including the
     first EOS (openai's sum_logprobs convention; avg = sum / n_scored).
-    Returns tokens, then (sum_logprobs, n_scored) if requested, then the
-    cache if `return_cache` — flat tuple in that order."""
+    `with_no_speech` returns p(<|nospeech|>) [B] fp32 from the RAW logits
+    of the SOT step (pos 0) — openai's probs_at_sot silence signal,
+    captured before any suppress/grammar masking.
+    Returns tokens, then (sum_logprobs, n_scored) if requested, then
+    no_speech_prob if requested, then the cache if `return_cache` — flat
+    tuple in that order."""
     B = cache.cross_k.shape[1]
     if prompt_ids.ndim == 1:
         prompt_ids = jnp.broadcast_to(prompt_ids[None], (B, prompt_ids.shape[0]))
@@ -164,7 +171,7 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         return cond
 
     def body(state):
-        pos, tokens, mutable, finished, sum_lp, n_sc = state
+        pos, tokens, mutable, finished, sum_lp, n_sc, ns_prob = state
         sk, sv, sks, svs = mutable
         step_cache = cross._replace(self_k=sk, self_v=sv,
                                     self_k_scale=sks, self_v_scale=svs)
@@ -172,6 +179,11 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             params, tokens[:, pos], pos, step_cache, cfg,
             lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale,
             scores_int8=scores_int8)
+        if with_no_speech:
+            # openai's probs_at_sot: softmax of the RAW logits at pos 0.
+            p0 = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            ns_prob = jnp.where(pos == 0, p0[:, cfg.no_speech_token_id],
+                                ns_prob)
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if begin_suppress is not None:
@@ -211,7 +223,7 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         finished = finished | (~in_prompt & (nxt == eos))
         mutable = (step_cache.self_k, step_cache.self_v,
                    step_cache.self_k_scale, step_cache.self_v_scale)
-        return pos + 1, tokens, mutable, finished, sum_lp, n_sc
+        return pos + 1, tokens, mutable, finished, sum_lp, n_sc, ns_prob
 
     def tslice(x, hi):
         """Prefix of the time axis (axis 3 for both [L,B,H,T,hd] K/V and
@@ -234,25 +246,29 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
         state = (jnp.int32(0), tokens,
                  tuple(tslice(x, hi) for x in mutable0),
                  jnp.zeros((B,), bool),
-                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32))
+                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32),
+                 jnp.zeros((B,), jnp.float32))
         for s in range(n_seg):
             pos_hi = min((s + 1) * segment, total - 1)
             state = jax.lax.while_loop(make_cond(pos_hi), body, state)
             if s + 1 < n_seg:
                 next_hi = min((s + 2) * segment, total)
-                pos, tokens, mutable, fin, sum_lp, n_sc = state
+                pos, tokens, mutable, fin, sum_lp, n_sc, ns = state
                 state = (pos, tokens,
                          tuple(tpad(x, next_hi - hi) for x in mutable), fin,
-                         sum_lp, n_sc)
+                         sum_lp, n_sc, ns)
                 hi = next_hi
     else:
         state = (jnp.int32(0), tokens, mutable0, jnp.zeros((B,), bool),
-                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32))
+                 jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.int32),
+                 jnp.zeros((B,), jnp.float32))
         state = jax.lax.while_loop(make_cond(total - 1), body, state)
-    _, tokens, mutable, _, sum_lp, n_sc = state
+    _, tokens, mutable, _, sum_lp, n_sc, ns_prob = state
     out = (tokens,)
     if with_logprobs:
         out += (sum_lp, n_sc)
+    if with_no_speech:
+        out += (ns_prob,)
     if return_cache:
         sk, sv, sks, svs = mutable
         if sk is not None and sk.shape[3] < total:

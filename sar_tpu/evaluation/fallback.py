@@ -15,9 +15,12 @@ decode donates its cache), full-batch redecode per escalation step with
 results accepted only for still-failing rows — static shapes, so every
 temperature reuses the same two compiled programs.
 
-The no_speech_threshold criterion requires the <|nospeech|> probability at
-the first step; Whisper checkpoints expose that token but the criterion
-only matters for silence gating in long-form — documented out of scope.
+The no_speech criterion (openai transcribe.py's silence gate) is captured
+too: p(<|nospeech|>) from the RAW logits at the SOT step rides out of the
+decode loop as `no_speech_prob`, and `should_skip_silence` applies
+openai's rule — skip when no_speech_prob > threshold UNLESS the text is
+confident (avg_logprob above the logprob threshold). The long-form loop
+(evaluation/longform.py fallback=True) drops such windows.
 """
 
 from __future__ import annotations
@@ -51,6 +54,21 @@ def needs_retry(text: str, avg_logprob: float, *,
     return False
 
 
+def should_skip_silence(row: dict, *,
+                        no_speech_threshold: float | None = 0.6,
+                        logprob_threshold: float | None = -1.0) -> bool:
+    """openai transcribe.py's segment-skip rule: the window is silence when
+    p(<|nospeech|>) exceeds the threshold, unless the decoded text is
+    confident enough (avg_logprob > logprob_threshold) to overrule it."""
+    if no_speech_threshold is None:
+        return False
+    skip = row.get("no_speech_prob", 0.0) > no_speech_threshold
+    if (logprob_threshold is not None
+            and row.get("avg_logprob", 0.0) > logprob_threshold):
+        skip = False
+    return skip
+
+
 def transcribe_batch_with_fallback(
         cfg, params, mel, tokenizer, *, language: str = "hindi",
         max_new_tokens: int = 256,
@@ -59,13 +77,15 @@ def transcribe_batch_with_fallback(
         logprob_threshold: float | None = -1.0,
         lora=None, lora_scale: float = 1.0,
         kv_int8: bool = True, flash: str | bool = "auto",
-        seed: int = 0):
+        seed: int = 0, n_valid: int | None = None):
     """Transcribe a mel batch [B, n_mels, frames] with temperature fallback.
 
     Returns (texts, info) where info is a list of per-sample dicts:
-    {"temperature", "avg_logprob", "compression_ratio"} for the ACCEPTED
-    result. Rows that fail every temperature keep the last (highest-T)
-    result, like openai's transcribe."""
+    {"temperature", "avg_logprob", "no_speech_prob", "compression_ratio"}
+    for the ACCEPTED result. Rows that fail every temperature keep the
+    last (highest-T) result, like openai's transcribe. Rows >= `n_valid`
+    are batch padding: they decode (static shapes) but never trigger an
+    escalation pass."""
     from functools import partial
 
     from sar_tpu.decode.greedy import (greedy_decode_from_cache,
@@ -89,34 +109,36 @@ def transcribe_batch_with_fallback(
     # decode program serves every escalation step, T=0.0 included.
     @partial(jax.jit, donate_argnums=(1,))
     def dec(params, cache, prompt, rng, temperature):
-        tokens, sum_lp, n_sc, spent = greedy_decode_from_cache(
+        tokens, sum_lp, n_sc, ns_prob, spent = greedy_decode_from_cache(
             params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
             temperature=temperature, rng=rng, with_logprobs=True,
-            return_cache=True)
-        return tokens, sum_lp, n_sc, spent
+            with_no_speech=True, return_cache=True)
+        return tokens, sum_lp, n_sc, ns_prob, spent
 
     mel = jnp.asarray(mel)
     B = mel.shape[0]
     base_key = jax.random.PRNGKey(seed)
     texts: list[str | None] = [None] * B
     info: list[dict | None] = [None] * B
-    pending = list(range(B))
+    pending = list(range(B if n_valid is None else min(n_valid, B)))
 
     for t_idx, temperature in enumerate(temperatures):
         cache = prep(params, mel)
         rng = jax.random.fold_in(base_key, t_idx)
-        tokens, sum_lp, n_sc, spent = dec(params, cache, prompt, rng,
-                                          jnp.float32(temperature))
+        tokens, sum_lp, n_sc, ns_prob, spent = dec(params, cache, prompt, rng,
+                                                   jnp.float32(temperature))
         del spent
         ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
         sum_lp = np.asarray(sum_lp)
         n_sc = np.asarray(n_sc)
+        ns_prob = np.asarray(ns_prob)
         still = []
         for b in pending:
             text = tokenizer.decode(ids[b])
             avg_lp = float(sum_lp[b] / max(int(n_sc[b]), 1))
             row = {"temperature": float(temperature),
                    "avg_logprob": avg_lp,
+                   "no_speech_prob": float(ns_prob[b]),
                    "compression_ratio": compression_ratio(text)}
             texts[b], info[b] = text, row
             last = t_idx == len(temperatures) - 1

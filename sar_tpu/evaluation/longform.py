@@ -46,12 +46,46 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     chunk_seconds: float = 30.0,
                     overlap_seconds: float = 0.0,
                     batch_size: int = 8, lora: dict | None = None,
-                    lora_scale: float = 1.0) -> str:
-    """Transcribe arbitrarily long audio; returns the joined text."""
-    from sar_tpu.evaluation.evaluator import batch_transcribe
+                    lora_scale: float = 1.0, fallback: bool = False,
+                    no_speech_threshold: float | None = 0.6,
+                    logprob_threshold: float | None = -1.0) -> str:
+    """Transcribe arbitrarily long audio; returns the joined text.
+
+    `fallback=True` runs each window through the openai-style robust
+    decode (evaluation/fallback.py): temperature escalation on degenerate
+    output, plus the no-speech gate — windows with
+    p(<|nospeech|>) > no_speech_threshold and unconfident text are
+    dropped as silence (openai transcribe.py's exact skip rule)."""
     chunks = chunk_audio(audio, chunk_seconds, overlap_seconds)
-    texts = batch_transcribe(chunks, cfg, params, tokenizer,
-                             language=language, batch_size=batch_size,
-                             max_new_tokens=max_new_tokens, lora=lora,
-                             lora_scale=lora_scale)
+    if not fallback:
+        from sar_tpu.evaluation.evaluator import batch_transcribe
+        texts = batch_transcribe(chunks, cfg, params, tokenizer,
+                                 language=language, batch_size=batch_size,
+                                 max_new_tokens=max_new_tokens, lora=lora,
+                                 lora_scale=lora_scale)
+        return " ".join(t.strip() for t in texts if t.strip())
+
+    import jax.numpy as jnp
+
+    from sar_tpu.evaluation.fallback import (should_skip_silence,
+                                             transcribe_batch_with_fallback)
+    texts = []
+    for s in range(0, len(chunks), batch_size):
+        group = chunks[s:s + batch_size]
+        n = len(group)
+        padded = mel_ops.stack_pad_audio(
+            group + [np.zeros(1, np.float32)] * (batch_size - n))
+        feats = mel_ops.log_mel_spectrogram(
+            jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
+        feats = feats[:, :, :cfg.num_audio_frames]
+        group_texts, info = transcribe_batch_with_fallback(
+            cfg, params, feats, tokenizer, language=language,
+            max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
+            logprob_threshold=logprob_threshold, n_valid=n)
+        for text, row in zip(group_texts[:n], info[:n]):
+            if should_skip_silence(row,
+                                   no_speech_threshold=no_speech_threshold,
+                                   logprob_threshold=logprob_threshold):
+                continue
+            texts.append(text)
     return " ".join(t.strip() for t in texts if t.strip())

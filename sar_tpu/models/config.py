@@ -48,6 +48,13 @@ class WhisperConfig:
         return self.d_model // self.encoder_heads
 
     @property
+    def no_speech_token_id(self) -> int:
+        """`<|nospeech|>` — always immediately below `<|notimestamps|>` in
+        every released Whisper vocab (50362; large-v3 50363). Its
+        probability at the SOT step is openai-whisper's silence signal."""
+        return self.no_timestamps_token_id - 1
+
+    @property
     def num_audio_frames(self) -> int:
         """Mel frames fed to the encoder (30 s @ hop 160)."""
         return self.max_source_positions * 2

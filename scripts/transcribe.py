@@ -12,7 +12,8 @@ plus the capabilities the reference lacks entirely:
 - --num_beams N: compiled beam search
 - --timestamps: segment-level timestamps (HF return_timestamps parity)
 - --word_timestamps: per-word times via cross-attention DTW alignment
-- --fallback: openai-style temperature fallback on degenerate output
+- --fallback: openai-style temperature fallback on degenerate output,
+  plus the no-speech silence gate in long-form mode
 - --longform: arbitrary-length audio via chunked transcription
   (sar_tpu.evaluation.longform; auto-selected for clips > 30 s)
 - --streaming: simulate a live stream from the file, printing the committed
@@ -103,10 +104,10 @@ def main(argv=None):
             logger.warning("--timestamps applies to single-window decoding; "
                            "ignored for %s",
                            "streaming" if args.streaming else "long-form")
-        if args.fallback and (args.streaming or long or args.num_beams > 1
+        if args.fallback and (args.streaming or args.num_beams > 1
                               or args.timestamps):
-            logger.warning("--fallback applies to single-window greedy "
-                           "decoding; ignored here")
+            logger.warning("--fallback applies to greedy single-window or "
+                           "long-form decoding; ignored here")
         if args.word_timestamps and (args.streaming or long or args.timestamps
                                      or args.fallback):
             logger.warning("--word_timestamps applies to single-window "
@@ -146,7 +147,8 @@ def main(argv=None):
                                    max_new_tokens=args.max_new_tokens,
                                    chunk_seconds=args.chunk_seconds,
                                    overlap_seconds=args.overlap_seconds,
-                                   lora=lora, lora_scale=lora_scale)
+                                   lora=lora, lora_scale=lora_scale,
+                                   fallback=args.fallback)
             print(text)
         elif args.num_beams > 1 or args.timestamps or args.word_timestamps:
             from sar_tpu.decode import transcribe_tokens

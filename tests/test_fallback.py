@@ -113,3 +113,69 @@ def test_fallback_escalates_to_last_temperature(setup):
         compression_ratio_threshold=None, flash=False)
     assert all(i["temperature"] == 1.0 for i in info)
     assert all(isinstance(t, str) for t in texts)
+
+
+def test_no_speech_prob_capture(setup):
+    cfg, params, _, enc = setup
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    tokens, ns = greedy_decode(params, enc, cfg, prompt, max_new_tokens=6,
+                               with_no_speech=True)
+    ns = np.asarray(ns)
+    assert ns.shape == (3,)
+    assert ((ns >= 0.0) & (ns <= 1.0)).all()
+    # the raw-logit softmax at the SOT step is decode-length independent
+    _, ns2 = greedy_decode(params, enc, cfg, prompt, max_new_tokens=9,
+                           with_no_speech=True)
+    np.testing.assert_allclose(ns, np.asarray(ns2), rtol=1e-5)
+
+
+def test_should_skip_silence_rule():
+    from sar_tpu.evaluation.fallback import should_skip_silence
+    silent = {"no_speech_prob": 0.9, "avg_logprob": -2.0}
+    confident = {"no_speech_prob": 0.9, "avg_logprob": -0.2}
+    speech = {"no_speech_prob": 0.1, "avg_logprob": -2.0}
+    assert should_skip_silence(silent)
+    assert not should_skip_silence(confident)      # confident text overrules
+    assert not should_skip_silence(speech)
+    assert not should_skip_silence(silent, no_speech_threshold=None)
+    # with the logprob overrule disabled, confidence cannot save it
+    assert should_skip_silence(confident, logprob_threshold=None)
+
+
+def test_fallback_reports_no_speech(setup):
+    cfg, params, mel, _ = setup
+    _, info = transcribe_batch_with_fallback(
+        cfg, params, mel, _Tok(), language="english", max_new_tokens=6,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        flash=False)
+    assert all(0.0 <= i["no_speech_prob"] <= 1.0 for i in info)
+
+
+def test_fallback_n_valid_limits_escalation(setup):
+    cfg, params, mel, _ = setup
+    texts, info = transcribe_batch_with_fallback(
+        cfg, params, mel, _Tok(), language="english", max_new_tokens=6,
+        temperatures=(0.0, 1.0), logprob_threshold=1e9,
+        compression_ratio_threshold=None, flash=False, n_valid=2)
+    assert info[2] is None and texts[2] is None    # padding row untouched
+    assert all(i["temperature"] == 1.0 for i in info[:2])
+
+
+def test_longform_fallback_end_to_end(setup):
+    cfg, params, _, _ = setup
+    from sar_tpu.evaluation.longform import transcribe_long
+    rng = np.random.default_rng(11)
+    audio = rng.standard_normal(4 * 16000).astype(np.float32) * 0.1
+    # tiny test model: window = max_source_positions*2 hops = 0.64 s
+    text = transcribe_long(audio, cfg, params, _Tok(), language="english",
+                           max_new_tokens=6, chunk_seconds=0.6,
+                           batch_size=4, fallback=True,
+                           no_speech_threshold=None)
+    assert isinstance(text, str)
+    # gate everything out -> empty transcript
+    text2 = transcribe_long(audio, cfg, params, _Tok(), language="english",
+                            max_new_tokens=6, chunk_seconds=0.6,
+                            batch_size=4, fallback=True,
+                            no_speech_threshold=-1.0,
+                            logprob_threshold=None)
+    assert text2 == ""
