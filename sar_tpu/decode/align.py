@@ -44,8 +44,11 @@ _PUNCT = set("\"'.。,，!！?？:：”)]}、")
 
 
 def default_alignment_heads(cfg) -> tuple[tuple[int, int], ...]:
-    """All heads of the upper half of decoder layers (heuristic fallback
-    when the checkpoint's alignment_heads list is unknown)."""
+    """The checkpoint's own alignment_heads when the config carries them
+    (convert.config_from_hf imports HF generation_config's list), else all
+    heads of the upper half of decoder layers — the standard heuristic."""
+    if getattr(cfg, "alignment_heads", None):
+        return tuple(cfg.alignment_heads)
     lo = cfg.decoder_layers // 2
     return tuple((l, h) for l in range(lo, cfg.decoder_layers)
                  for h in range(cfg.decoder_heads))

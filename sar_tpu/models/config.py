@@ -42,6 +42,17 @@ class WhisperConfig:
     transcribe_token_id: int = 50359
     no_timestamps_token_id: int = 50363
     pad_token_id: int = 50257
+    # Checkpoint-specific (layer, head) pairs whose cross-attention tracks
+    # the audio (HF generation_config "alignment_heads"); None -> the
+    # word-timestamp aligner falls back to its upper-half-layers heuristic.
+    alignment_heads: tuple[tuple[int, int], ...] | None = None
+
+    def __post_init__(self):
+        if self.alignment_heads is not None:
+            # Coerce JSON lists to tuples: the config doubles as a static
+            # (hashable) jit argument.
+            object.__setattr__(self, "alignment_heads",
+                               tuple(tuple(p) for p in self.alignment_heads))
 
     @property
     def head_dim(self) -> int:

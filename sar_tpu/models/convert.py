@@ -262,4 +262,18 @@ def config_from_hf(hf_config) -> WhisperConfig:
         eos_token_id=hf_config.eos_token_id,
         sot_token_id=hf_config.decoder_start_token_id,
         pad_token_id=hf_config.pad_token_id,
+        alignment_heads=alignment_heads_from_hf(hf_config),
     )
+
+
+def alignment_heads_from_hf(hf_obj) -> tuple[tuple[int, int], ...] | None:
+    """Pull the word-timestamp alignment heads from an HF config or
+    generation config (generation_config.json "alignment_heads": [[l, h],
+    ...]). Checkpoints ship these; without them the aligner uses its
+    upper-half-layers heuristic (sar_tpu/decode/align.py)."""
+    heads = getattr(hf_obj, "alignment_heads", None)
+    if heads is None and hasattr(hf_obj, "generation_config"):
+        heads = getattr(hf_obj.generation_config, "alignment_heads", None)
+    if not heads:
+        return None
+    return tuple((int(l), int(h)) for l, h in heads)

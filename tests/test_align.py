@@ -172,3 +172,35 @@ def test_align_words_empty_row(model):
     out = align_words(params, mel, jnp.asarray(tokens), cfg, _Tok(),
                       prompt_len=P)
     assert out == [[], []]
+
+
+def test_alignment_heads_config_roundtrip_and_priority():
+    import dataclasses
+
+    from sar_tpu.models.config import WhisperConfig
+    cfg = get_config("whisper-test")
+    cfg2 = dataclasses.replace(cfg, alignment_heads=[[0, 1], [1, 2]])
+    # JSON lists coerce to hashable tuples (static jit argument)
+    assert cfg2.alignment_heads == ((0, 1), (1, 2))
+    hash(cfg2)
+    back = WhisperConfig.from_json(cfg2.to_json())
+    assert back.alignment_heads == ((0, 1), (1, 2))
+    assert default_alignment_heads(cfg2) == ((0, 1), (1, 2))
+    assert WhisperConfig.from_json(cfg.to_json()).alignment_heads is None
+
+
+def test_alignment_heads_from_hf_shapes():
+    from sar_tpu.models.convert import alignment_heads_from_hf
+
+    class _G:
+        alignment_heads = [[3, 1], [4, 2]]
+
+    class _C:
+        alignment_heads = None
+        generation_config = _G()
+
+    class _N:
+        pass
+
+    assert alignment_heads_from_hf(_C()) == ((3, 1), (4, 2))
+    assert alignment_heads_from_hf(_N()) is None
