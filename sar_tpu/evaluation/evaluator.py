@@ -38,7 +38,7 @@ class ASREvaluator:
                  num_beams: int = 1, lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
                  flash: str | bool = "auto", scores_int8: bool = False,
-                 prompt_tokens=None):
+                 prompt_tokens=None, fallback: bool = False):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -68,6 +68,14 @@ class ASREvaluator:
         # s8-MXU attention (fused kernel on TPU; approximate — see
         # PARITY.md known-deviations). The WER gate for making it default.
         self.scores_int8 = scores_int8
+        # openai-style temperature fallback (evaluation/fallback.py):
+        # greedy-only and meshless — the escalation re-decode has no
+        # beam-folded or SPMD path.
+        if fallback and (num_beams > 1 or mesh is not None):
+            logger.warning("fallback applies to greedy single-chip "
+                           "evaluation; disabled here")
+            fallback = False
+        self.fallback = fallback
         # Blockwise (flash) encoder attention: avoids the [1500, 1500] fp32
         # score materialization that OOMed whisper-large at batch 32.
         # "auto" = on for TPU backends (the Pallas kernel has no CPU build).
@@ -134,6 +142,13 @@ class ASREvaluator:
                                cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
                                scores_int8=scores_int8)
 
+        if self.fallback:
+            from sar_tpu.evaluation.fallback import FallbackTranscriber
+            self._fallback = FallbackTranscriber(
+                cfg, self.params, self.tokenizer, language=self.language,
+                max_new_tokens=mnt, lora=lora, lora_scale=scale,
+                kv_int8=kv_int8, flash=flash,
+                prompt_tokens=np.asarray(self._prompt).tolist())
         self._prep = jax.jit(prep)
         self._prep_enc = jax.jit(prep_enc_only)
         # The cache is donated into the decode loop so the prep output and
@@ -144,6 +159,9 @@ class ASREvaluator:
 
     def _transcribe_batch(self, mel: jnp.ndarray) -> list[str]:
         B = mel.shape[0]
+        if self.fallback:
+            texts, _ = self._fallback(mel)
+            return texts
         if self.mesh is not None:
             from sar_tpu.parallel.distributed import (n_batch_shards,
                                                       put_global_batch)

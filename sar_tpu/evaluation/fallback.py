@@ -69,85 +69,113 @@ def should_skip_silence(row: dict, *,
     return skip
 
 
-def transcribe_batch_with_fallback(
-        cfg, params, mel, tokenizer, *, language: str = "hindi",
-        max_new_tokens: int = 256,
-        temperatures=DEFAULT_TEMPERATURES,
-        compression_ratio_threshold: float | None = 2.4,
-        logprob_threshold: float | None = -1.0,
-        lora=None, lora_scale: float = 1.0,
-        kv_int8: bool = True, flash: str | bool = "auto",
-        seed: int = 0, n_valid: int | None = None):
-    """Transcribe a mel batch [B, n_mels, frames] with temperature fallback.
+class FallbackTranscriber:
+    """Reusable fallback decoder: builds its two jitted programs ONCE, so
+    repeated calls (long-form groups, evaluator batches) hit the jit cache
+    instead of retracing (a fresh closure per call would retrace every
+    time — jax.jit caches by function identity)."""
 
+    def __init__(self, cfg, params, tokenizer, *, language: str = "hindi",
+                 max_new_tokens: int = 256,
+                 temperatures=DEFAULT_TEMPERATURES,
+                 compression_ratio_threshold: float | None = 2.4,
+                 logprob_threshold: float | None = -1.0,
+                 lora=None, lora_scale: float = 1.0,
+                 kv_int8: bool = True, flash: str | bool = "auto",
+                 seed: int = 0, prompt_tokens=None):
+        from functools import partial
+
+        from sar_tpu.models import whisper
+
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.temperatures = tuple(temperatures)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self._base_key = jax.random.PRNGKey(seed)
+        use_flash = (("hm" if jax.default_backend() == "tpu" else False)
+                     if flash == "auto" else flash)
+        self._prompt = jnp.asarray(
+            list(prompt_tokens) if prompt_tokens is not None
+            else cfg.prompt_ids(language), jnp.int32)
+        total = min(int(self._prompt.shape[0]) + max_new_tokens,
+                    cfg.max_target_positions)
+
+        def prep(params, mel):
+            enc = whisper.encode(params, mel, cfg, lora=lora,
+                                 lora_scale=lora_scale, flash=use_flash)
+            return whisper.init_cache(params, enc, cfg, max_len=total,
+                                      lora=lora, lora_scale=lora_scale,
+                                      cross_kv_int8=kv_int8,
+                                      self_kv_int8=kv_int8)
+
+        # temperature is a TRACED scalar (Gumbel-max in the loop): one
+        # compiled decode program serves every escalation step, T=0.0
+        # included.
+        def dec(params, cache, prompt, rng, temperature):
+            from sar_tpu.decode.greedy import greedy_decode_from_cache
+            return greedy_decode_from_cache(
+                params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
+                temperature=temperature, rng=rng, with_logprobs=True,
+                with_no_speech=True, return_cache=True)
+
+        self._prep = jax.jit(prep)
+        self._dec = partial(jax.jit, donate_argnums=(1,))(dec)
+
+    def __call__(self, mel, n_valid: int | None = None):
+        from sar_tpu.decode.greedy import transcribe_tokens
+        cfg = self.cfg
+        mel = jnp.asarray(mel)
+        B = mel.shape[0]
+        texts: list[str | None] = [None] * B
+        info: list[dict | None] = [None] * B
+        pending = list(range(B if n_valid is None else min(n_valid, B)))
+        P = int(self._prompt.shape[0])
+
+        for t_idx, temperature in enumerate(self.temperatures):
+            cache = self._prep(self.params, mel)
+            rng = jax.random.fold_in(self._base_key, t_idx)
+            tokens, sum_lp, n_sc, ns_prob, spent = self._dec(
+                self.params, cache, self._prompt, rng,
+                jnp.float32(temperature))
+            del spent
+            ids = transcribe_tokens(tokens, cfg, prompt_len=P)
+            sum_lp = np.asarray(sum_lp)
+            n_sc = np.asarray(n_sc)
+            ns_prob = np.asarray(ns_prob)
+            still = []
+            for b in pending:
+                text = self.tokenizer.decode(ids[b])
+                avg_lp = float(sum_lp[b] / max(int(n_sc[b]), 1))
+                row = {"temperature": float(temperature),
+                       "avg_logprob": avg_lp,
+                       "no_speech_prob": float(ns_prob[b]),
+                       "compression_ratio": compression_ratio(text)}
+                texts[b], info[b] = text, row
+                last = t_idx == len(self.temperatures) - 1
+                if not last and needs_retry(
+                        text, avg_lp,
+                        compression_ratio_threshold=(
+                            self.compression_ratio_threshold),
+                        logprob_threshold=self.logprob_threshold):
+                    still.append(b)
+            pending = still
+            if not pending:
+                break
+        return texts, info
+
+
+def transcribe_batch_with_fallback(
+        cfg, params, mel, tokenizer, *, n_valid: int | None = None, **kw):
+    """One-shot form of FallbackTranscriber (builds the programs fresh —
+    for repeated batches, construct a FallbackTranscriber once).
+
+    Transcribes a mel batch [B, n_mels, frames] with temperature fallback.
     Returns (texts, info) where info is a list of per-sample dicts:
     {"temperature", "avg_logprob", "no_speech_prob", "compression_ratio"}
     for the ACCEPTED result. Rows that fail every temperature keep the
     last (highest-T) result, like openai's transcribe. Rows >= `n_valid`
     are batch padding: they decode (static shapes) but never trigger an
     escalation pass."""
-    from functools import partial
-
-    from sar_tpu.decode.greedy import (greedy_decode_from_cache,
-                                       transcribe_tokens)
-    from sar_tpu.models import whisper
-
-    use_flash = (("hm" if jax.default_backend() == "tpu" else False)
-                 if flash == "auto" else flash)
-    prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
-    total = min(prompt.shape[0] + max_new_tokens, cfg.max_target_positions)
-
-    @jax.jit
-    def prep(params, mel):
-        enc = whisper.encode(params, mel, cfg, lora=lora,
-                             lora_scale=lora_scale, flash=use_flash)
-        return whisper.init_cache(params, enc, cfg, max_len=total, lora=lora,
-                                  lora_scale=lora_scale,
-                                  cross_kv_int8=kv_int8, self_kv_int8=kv_int8)
-
-    # temperature is a TRACED scalar (Gumbel-max in the loop): one compiled
-    # decode program serves every escalation step, T=0.0 included.
-    @partial(jax.jit, donate_argnums=(1,))
-    def dec(params, cache, prompt, rng, temperature):
-        tokens, sum_lp, n_sc, ns_prob, spent = greedy_decode_from_cache(
-            params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
-            temperature=temperature, rng=rng, with_logprobs=True,
-            with_no_speech=True, return_cache=True)
-        return tokens, sum_lp, n_sc, ns_prob, spent
-
-    mel = jnp.asarray(mel)
-    B = mel.shape[0]
-    base_key = jax.random.PRNGKey(seed)
-    texts: list[str | None] = [None] * B
-    info: list[dict | None] = [None] * B
-    pending = list(range(B if n_valid is None else min(n_valid, B)))
-
-    for t_idx, temperature in enumerate(temperatures):
-        cache = prep(params, mel)
-        rng = jax.random.fold_in(base_key, t_idx)
-        tokens, sum_lp, n_sc, ns_prob, spent = dec(params, cache, prompt, rng,
-                                                   jnp.float32(temperature))
-        del spent
-        ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
-        sum_lp = np.asarray(sum_lp)
-        n_sc = np.asarray(n_sc)
-        ns_prob = np.asarray(ns_prob)
-        still = []
-        for b in pending:
-            text = tokenizer.decode(ids[b])
-            avg_lp = float(sum_lp[b] / max(int(n_sc[b]), 1))
-            row = {"temperature": float(temperature),
-                   "avg_logprob": avg_lp,
-                   "no_speech_prob": float(ns_prob[b]),
-                   "compression_ratio": compression_ratio(text)}
-            texts[b], info[b] = text, row
-            last = t_idx == len(temperatures) - 1
-            if not last and needs_retry(
-                    text, avg_lp,
-                    compression_ratio_threshold=compression_ratio_threshold,
-                    logprob_threshold=logprob_threshold):
-                still.append(b)
-        pending = still
-        if not pending:
-            break
-    return texts, info
+    return FallbackTranscriber(cfg, params, tokenizer, **kw)(mel, n_valid)

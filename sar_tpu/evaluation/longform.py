@@ -67,8 +67,14 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
 
     import jax.numpy as jnp
 
-    from sar_tpu.evaluation.fallback import (should_skip_silence,
-                                             transcribe_batch_with_fallback)
+    from sar_tpu.evaluation.fallback import (FallbackTranscriber,
+                                             should_skip_silence)
+    # One transcriber across all groups: its two jitted programs compile
+    # once and every 30 s window reuses them.
+    transcriber = FallbackTranscriber(
+        cfg, params, tokenizer, language=language,
+        max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
+        logprob_threshold=logprob_threshold)
     texts = []
     for s in range(0, len(chunks), batch_size):
         group = chunks[s:s + batch_size]
@@ -78,10 +84,7 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
         feats = mel_ops.log_mel_spectrogram(
             jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
-        group_texts, info = transcribe_batch_with_fallback(
-            cfg, params, feats, tokenizer, language=language,
-            max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
-            logprob_threshold=logprob_threshold, n_valid=n)
+        group_texts, info = transcriber(feats, n_valid=n)
         for text, row in zip(group_texts[:n], info[:n]):
             if should_skip_silence(row,
                                    no_speech_threshold=no_speech_threshold,

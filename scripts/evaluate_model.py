@@ -59,6 +59,9 @@ def parse_args(argv=None):
                         "decoder for whisper-large batch inference)")
     p.add_argument("--dcn_dp", type=int, default=1,
                    help="Data-parallel replicas over DCN (multi-slice/multi-host)")
+    p.add_argument("--fallback", action="store_true",
+                   help="openai-style temperature fallback during "
+                        "evaluation (greedy, single-chip)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_predictions", action="store_true")
     p.add_argument("--per_sample", action="store_true",
@@ -127,7 +130,8 @@ def main(argv=None):
                              num_beams=args.num_beams, lora=lora,
                              lora_scale=lora_scale,
                              kv_int8=args.kv_cache == "int8", mesh=mesh,
-                             scores_int8=args.attn_scores == "int8")
+                             scores_int8=args.attn_scores == "int8",
+                             fallback=args.fallback)
     need_preds = args.save_predictions or args.per_sample
     results = evaluator.evaluate(loader, return_predictions=need_preds)
 

@@ -179,3 +179,30 @@ def test_longform_fallback_end_to_end(setup):
                             no_speech_threshold=-1.0,
                             logprob_threshold=None)
     assert text2 == ""
+
+
+def test_evaluator_fallback_mode(setup):
+    cfg, params, _, _ = setup
+    from sar_tpu.data.loader import DataLoader
+    from sar_tpu.data.synthetic import SyntheticASRDataset
+    from sar_tpu.evaluation.evaluator import ASREvaluator
+
+    ds = SyntheticASRDataset(cfg, size=6, language="english", seed=0)
+    tok = ds.tokenizer
+
+    from sar_tpu.data.collate import create_collator
+    loader = DataLoader(ds, batch_size=3,
+                        collator=create_collator(cfg.sot_token_id,
+                                                 pad_to_length=8),
+                        shuffle=False, drop_last=False, num_workers=0)
+    ev = ASREvaluator(cfg, params, tok, language="english",
+                      max_new_tokens=6, kv_int8=True, flash=False,
+                      fallback=True)
+    out = ev.evaluate(loader)
+    assert out["num_samples"] == 6
+    assert 0.0 <= out["wer"]
+    # beams force-disable fallback with a warning, not an error
+    ev2 = ASREvaluator(cfg, params, tok, language="english",
+                      max_new_tokens=6, num_beams=2, flash=False,
+                      fallback=True)
+    assert ev2.fallback is False
