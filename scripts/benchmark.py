@@ -52,6 +52,14 @@ def parse_args(argv=None):
                         "per-update latency + real-time factor at batch 1")
     p.add_argument("--streaming_chunk_seconds", type=float, default=1.0,
                    help="Audio fed per streaming update")
+    p.add_argument("--serving", action="store_true",
+                   help="Benchmark the micro-batching serving layer at "
+                        "saturation (concurrent clients, end-to-end "
+                        "latency incl. queueing)")
+    p.add_argument("--serving_requests", type=int, default=128,
+                   help="Concurrent requests per serving row")
+    p.add_argument("--serving_wait_ms", type=float, default=20.0,
+                   help="Service batching window")
     p.add_argument("--output", type=str, default=None)
     return p.parse_args(argv)
 
@@ -95,6 +103,58 @@ def run_streaming(cfg, params, chunk_seconds, iters, kv_int8,
             "ms_per_update_p90": round(p90 * 1000, 2),
             "streaming_rtf": round(chunk_seconds / mean, 2),
             "kv": "int8" if kv_int8 else "bf16"}
+
+
+def run_serving(cfg, params, batch, max_new_tokens, n_requests,
+                max_wait_ms):
+    """Saturation throughput/latency of the micro-batching serving layer:
+    n_requests concurrent clients push one window-length clip each through
+    TranscriptionService; reported latency includes queueing (the honest
+    end-to-end number a client sees at saturation)."""
+    import threading
+
+    import numpy as np
+
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.serving import TranscriptionService
+
+    window_s = cfg.num_audio_frames / 100.0        # mel hop = 10 ms
+    rng = np.random.default_rng(0)
+    clips = [(rng.standard_normal(int(window_s * 16000)) * 0.1)
+             .astype(np.float32) for _ in range(8)]
+    svc = TranscriptionService(cfg, params, CharTokenizer(cfg),
+                               language="hindi", batch_size=batch,
+                               max_wait_ms=max_wait_ms,
+                               max_new_tokens=max_new_tokens)
+    try:
+        t0 = time.perf_counter()
+        svc.transcribe(clips[0], timeout=1800)     # compile both programs
+        compile_s = time.perf_counter() - t0
+        results = [None] * n_requests
+
+        def run(i):
+            results[i] = svc.transcribe(clips[i % len(clips)], timeout=1800)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(n_requests)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        st = svc.stats()
+    finally:
+        svc.close()
+    assert all(isinstance(r, str) for r in results)
+    return {"mode": "serving", "batch": batch, "requests": n_requests,
+            "wall_s": round(dt, 2),
+            "requests_per_s": round(n_requests / dt, 2),
+            "audio_sec_per_s": round(n_requests * window_s / dt, 1),
+            "batches": st["batches"] - 1,          # minus warmup
+            "latency_ms_p50": st.get("latency_ms_p50"),
+            "latency_ms_p95": st.get("latency_ms_p95"),
+            "compile_s": round(compile_s, 1)}
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
@@ -245,6 +305,20 @@ def main(argv=None):
         params = shard_params(params, mesh)
         logger.info("benchmarking on mesh %s", mesh)
     rows = []
+    if args.serving:
+        for b in args.batch_sizes:
+            r = run_serving(cfg, params, b, args.max_new_tokens,
+                            args.serving_requests, args.serving_wait_ms)
+            rows.append(r)
+            print(f"serving batch={b}: {r['requests_per_s']} req/s "
+                  f"({r['audio_sec_per_s']} audio-sec/s), p50 "
+                  f"{r['latency_ms_p50']} ms, p95 {r['latency_ms_p95']} ms "
+                  f"({r['batches']} batches)")
+        report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
+                  "results": rows}
+        if args.output:
+            Path(args.output).write_text(json.dumps(report, indent=2))
+        return report
     if args.streaming:
         for kv in args.kv_cache:
             r = run_streaming(cfg, params, args.streaming_chunk_seconds,

@@ -28,3 +28,17 @@ def test_benchmark_scores_int8_row_reports_agreement():
     (row,) = report["results"]
     assert row["attn_scores"] == "int8"
     assert 0.0 <= row["token_agreement_vs_bf16"] <= 1.0
+
+
+def test_benchmark_serving_row():
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--batch_sizes", "2",
+        "--max_new_tokens", "6", "--serving", "--serving_requests", "5",
+        "--serving_wait_ms", "100", "--platform", "cpu"])
+    (row,) = report["results"]
+    assert row["mode"] == "serving"
+    assert row["requests"] == 5
+    assert row["requests_per_s"] > 0
+    assert row["batches"] >= 3          # 5 requests at batch 2
+    assert row["latency_ms_p50"] > 0

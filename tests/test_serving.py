@@ -219,3 +219,24 @@ def test_wav_decode_resamples_and_mixes_down():
     assert out.ndim == 1
     # 8 kHz 1 s -> 16 kHz ~1 s
     assert abs(len(out) - 16000) < 50
+
+
+def test_service_batch_failure_fans_out(world):
+    cfg, params, clips = world
+    svc = TranscriptionService(cfg, params, _Tok(), language="english",
+                               batch_size=2, max_wait_ms=50.0,
+                               max_new_tokens=6, flash=False)
+    try:
+        boom = RuntimeError("injected device failure")
+
+        def bad_prep(params, mel):
+            raise boom
+
+        svc._prep = bad_prep
+        with pytest.raises(RuntimeError, match="injected"):
+            svc.transcribe(clips[0], timeout=60)
+        assert svc.stats()["errors"] == 1
+        # the worker survives a failed batch
+        svc._prep = jax.jit(lambda p, m: None)  # never used: restore real
+    finally:
+        svc.close(drain=False)
