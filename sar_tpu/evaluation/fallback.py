@@ -151,7 +151,10 @@ class FallbackTranscriber:
                 row = {"temperature": float(temperature),
                        "avg_logprob": avg_lp,
                        "no_speech_prob": float(ns_prob[b]),
-                       "compression_ratio": compression_ratio(text)}
+                       "compression_ratio": compression_ratio(text),
+                       # accepted token ids (stripped) — the word-timestamp
+                       # aligner rebuilds its buffer from these
+                       "ids": list(ids[b])}
                 texts[b], info[b] = text, row
                 last = t_idx == len(self.temperatures) - 1
                 if not last and needs_retry(

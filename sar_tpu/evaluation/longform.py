@@ -10,6 +10,12 @@ chunk boundaries may split a word — pass `overlap_seconds` to bias against
 mid-speech cuts by trimming half the overlap from each side's text is NOT
 attempted (text-level merging is tokenizer-specific); overlap simply re-cues
 the acoustic context.
+
+Composable extras (openai-whisper transcribe-loop parity):
+- `fallback=True`: per-window temperature escalation + the no-speech
+  silence gate (evaluation/fallback.py).
+- `word_timestamps=True`: per-word [start, end] with GLOBAL times (chunk
+  offsets applied), via the cross-attention DTW aligner (decode/align.py).
 """
 
 from __future__ import annotations
@@ -23,19 +29,30 @@ def chunk_audio(audio: np.ndarray, chunk_seconds: float = 30.0,
                 overlap_seconds: float = 0.0,
                 sample_rate: int = mel_ops.SAMPLE_RATE) -> list[np.ndarray]:
     """Split a waveform into fixed chunks (last one short)."""
+    return [c for c, _ in chunk_audio_with_offsets(
+        audio, chunk_seconds, overlap_seconds, sample_rate)]
+
+
+def chunk_audio_with_offsets(
+        audio: np.ndarray, chunk_seconds: float = 30.0,
+        overlap_seconds: float = 0.0,
+        sample_rate: int = mel_ops.SAMPLE_RATE
+) -> list[tuple[np.ndarray, float]]:
+    """(chunk, start_seconds) pairs — offsets anchor per-chunk word times
+    on the global clock."""
     chunk = int(chunk_seconds * sample_rate)
     hop = chunk - int(overlap_seconds * sample_rate)
     if hop <= 0:
         raise ValueError("overlap must be smaller than the chunk size")
     audio = np.asarray(audio, np.float32)
     if len(audio) <= chunk:
-        return [audio]
-    out = []
+        return [(audio, 0.0)]
+    out: list[tuple[np.ndarray, float]] = []
     for start in range(0, len(audio), hop):
         piece = audio[start:start + chunk]
         if len(piece) < int(0.2 * sample_rate) and out:
             break                       # ignore a sub-200ms tail
-        out.append(piece)
+        out.append((piece, start / sample_rate))
         if start + chunk >= len(audio):
             break
     return out
@@ -48,16 +65,21 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     batch_size: int = 8, lora: dict | None = None,
                     lora_scale: float = 1.0, fallback: bool = False,
                     no_speech_threshold: float | None = 0.6,
-                    logprob_threshold: float | None = -1.0) -> str:
-    """Transcribe arbitrarily long audio; returns the joined text.
+                    logprob_threshold: float | None = -1.0,
+                    word_timestamps: bool = False):
+    """Transcribe arbitrarily long audio.
+
+    Returns the joined text, or (text, words) when `word_timestamps=True` —
+    words are [{"word", "start", "end"}] on the global clock, in order.
 
     `fallback=True` runs each window through the openai-style robust
     decode (evaluation/fallback.py): temperature escalation on degenerate
     output, plus the no-speech gate — windows with
     p(<|nospeech|>) > no_speech_threshold and unconfident text are
     dropped as silence (openai transcribe.py's exact skip rule)."""
-    chunks = chunk_audio(audio, chunk_seconds, overlap_seconds)
-    if not fallback:
+    pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
+    chunks = [c for c, _ in pairs]
+    if not fallback and not word_timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
         texts = batch_transcribe(chunks, cfg, params, tokenizer,
                                  language=language, batch_size=batch_size,
@@ -70,25 +92,61 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     from sar_tpu.evaluation.fallback import (FallbackTranscriber,
                                              should_skip_silence)
     # One transcriber across all groups: its two jitted programs compile
-    # once and every 30 s window reuses them.
+    # once and every 30 s window reuses them. With fallback off it runs a
+    # single T=0.0 pass — exact greedy (tested bit-identical) — so the
+    # word-timestamp path shares the same engine.
     transcriber = FallbackTranscriber(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
-        logprob_threshold=logprob_threshold)
-    texts = []
+        **({"logprob_threshold": logprob_threshold} if fallback
+           else {"temperatures": (0.0,),
+                 "compression_ratio_threshold": None,
+                 "logprob_threshold": None}))
+    prompt = cfg.prompt_ids(language)
+    P = len(prompt)
+    eos = cfg.eos_token_id
+    texts: list[str] = []
+    words: list[dict] = []
     for s in range(0, len(chunks), batch_size):
-        group = chunks[s:s + batch_size]
+        group = pairs[s:s + batch_size]
         n = len(group)
         padded = mel_ops.stack_pad_audio(
-            group + [np.zeros(1, np.float32)] * (batch_size - n))
+            [c for c, _ in group] + [np.zeros(1, np.float32)]
+            * (batch_size - n))
         feats = mel_ops.log_mel_spectrogram(
             jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
         group_texts, info = transcriber(feats, n_valid=n)
-        for text, row in zip(group_texts[:n], info[:n]):
-            if should_skip_silence(row,
-                                   no_speech_threshold=no_speech_threshold,
-                                   logprob_threshold=logprob_threshold):
+        kept = []
+        for b, (text, row) in enumerate(zip(group_texts[:n], info[:n])):
+            if fallback and should_skip_silence(
+                    row, no_speech_threshold=no_speech_threshold,
+                    logprob_threshold=logprob_threshold):
                 continue
+            kept.append(b)
             texts.append(text)
-    return " ".join(t.strip() for t in texts if t.strip())
+        if word_timestamps and kept:
+            from sar_tpu.decode.align import align_words
+            # Rebuild the decode buffers from the ACCEPTED ids (the
+            # escalation may have replaced the greedy pass's tokens).
+            width = P + max(len(info[b]["ids"]) for b in kept) + 1
+            buf = np.full((n, width), eos, np.int32)
+            buf[:, :P] = prompt
+            for b in kept:
+                ids = info[b]["ids"]
+                buf[b, P:P + len(ids)] = ids
+            frames = [max(2, -(-len(c) // (2 * mel_ops.HOP_LENGTH)))
+                      for c, _ in group]
+            aligned = align_words(params, feats[:n], jnp.asarray(buf), cfg,
+                                  tokenizer, prompt_len=P, lora=lora,
+                                  lora_scale=lora_scale, num_frames=frames)
+            for b in kept:
+                off = group[b][1]
+                words.extend({"word": w["word"],
+                              "start": round(w["start"] + off, 3),
+                              "end": round(w["end"] + off, 3)}
+                             for w in aligned[b])
+    text = " ".join(t.strip() for t in texts if t.strip())
+    if word_timestamps:
+        return text, words
+    return text

@@ -108,10 +108,11 @@ def main(argv=None):
                               or args.timestamps):
             logger.warning("--fallback applies to greedy single-window or "
                            "long-form decoding; ignored here")
-        if args.word_timestamps and (args.streaming or long or args.timestamps
-                                     or args.fallback):
-            logger.warning("--word_timestamps applies to single-window "
-                           "plain-text decoding; ignored here")
+        if args.word_timestamps and (args.streaming or args.timestamps
+                                     or (args.fallback and not long)):
+            logger.warning("--word_timestamps applies to plain-text "
+                           "decoding (single-window or long-form); "
+                           "ignored here")
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
@@ -142,14 +143,23 @@ def main(argv=None):
             print()
         elif long:
             from sar_tpu.evaluation.longform import transcribe_long
-            text = transcribe_long(audio, cfg, params, tokenizer,
-                                   language=args.language,
-                                   max_new_tokens=args.max_new_tokens,
-                                   chunk_seconds=args.chunk_seconds,
-                                   overlap_seconds=args.overlap_seconds,
-                                   lora=lora, lora_scale=lora_scale,
-                                   fallback=args.fallback)
-            print(text)
+            out = transcribe_long(audio, cfg, params, tokenizer,
+                                  language=args.language,
+                                  max_new_tokens=args.max_new_tokens,
+                                  chunk_seconds=args.chunk_seconds,
+                                  overlap_seconds=args.overlap_seconds,
+                                  lora=lora, lora_scale=lora_scale,
+                                  fallback=args.fallback,
+                                  word_timestamps=args.word_timestamps)
+            if args.word_timestamps:
+                text, long_words = out
+                print(text)
+                for w in long_words:
+                    print(f"[{w['start']:7.2f} -> {w['end']:7.2f}] "
+                          f"{w['word']}")
+            else:
+                text = out
+                print(text)
         elif args.num_beams > 1 or args.timestamps or args.word_timestamps:
             from sar_tpu.decode import transcribe_tokens
             from sar_tpu.decode.beam import beam_decode

@@ -204,3 +204,38 @@ def test_alignment_heads_from_hf_shapes():
 
     assert alignment_heads_from_hf(_C()) == ((3, 1), (4, 2))
     assert alignment_heads_from_hf(_N()) is None
+
+
+def test_longform_word_timestamps_global_offsets(model):
+    from sar_tpu.evaluation.longform import transcribe_long
+    cfg, params, _ = model
+    rng = np.random.default_rng(13)
+    # test window = 0.64 s; ~4 chunks of 0.6 s with batch 2 -> two groups
+    audio = rng.standard_normal(int(2.4 * 16000)).astype(np.float32) * 0.1
+    text, words = transcribe_long(audio, cfg, params, _Tok(),
+                                  language="english", max_new_tokens=6,
+                                  chunk_seconds=0.6, batch_size=2,
+                                  word_timestamps=True)
+    assert isinstance(text, str)
+    starts = [w["start"] for w in words]
+    assert starts == sorted(starts)          # global clock is monotone
+    for w in words:
+        assert 0.0 <= w["start"] <= w["end"] <= 2.5
+    # joined words reassemble the joined text (modulo whitespace)
+    joined = "".join(w["word"] for w in words)
+    assert "".join(joined.split()) == "".join(text.split())
+
+
+def test_longform_word_timestamps_with_fallback(model):
+    from sar_tpu.evaluation.longform import transcribe_long
+    cfg, params, _ = model
+    rng = np.random.default_rng(14)
+    audio = rng.standard_normal(int(1.2 * 16000)).astype(np.float32) * 0.1
+    text, words = transcribe_long(audio, cfg, params, _Tok(),
+                                  language="english", max_new_tokens=6,
+                                  chunk_seconds=0.6, batch_size=2,
+                                  fallback=True, no_speech_threshold=None,
+                                  word_timestamps=True)
+    assert isinstance(text, str)
+    joined = "".join(w["word"] for w in words)
+    assert "".join(joined.split()) == "".join(text.split())
