@@ -64,13 +64,18 @@ class TranscriptionService:
     def __init__(self, cfg=None, params=None, tokenizer=None, *,
                  language: str = "hindi", router=None,
                  batch_size: int = 8, max_wait_ms: float = 10.0,
-                 max_new_tokens: int = 256, lora: dict | None = None,
+                 max_new_tokens: int = 256, num_beams: int = 1,
+                 lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True,
                  flash: str | bool = "auto", max_queue: int = 512):
         if tokenizer is None or (router is None
                                  and (cfg is None or params is None)):
             raise ValueError("need cfg+params+tokenizer, or a "
                              "router+tokenizer")
+        if router is not None and num_beams > 1:
+            raise ValueError("routed serving decodes greedily "
+                             "(no beam-routed program)")
+        self.num_beams = num_beams
         self.router = router
         if router is not None:
             self.cfg = router.cfg
@@ -156,8 +161,23 @@ class TranscriptionService:
                                             lora=lora, lora_scale=scale,
                                             return_cache=True)
 
+        def beam(params, audio, prompts):
+            from sar_tpu.decode.beam import beam_decode
+            feats = mel_ops.log_mel_spectrogram(
+                audio, cfg.num_mel_bins,
+                dtype=jax.tree.leaves(params)[0].dtype)
+            feats = feats[:, :, :cfg.num_audio_frames]
+            enc = whisper.encode(params, feats, cfg, lora=lora,
+                                 lora_scale=scale, flash=flash)
+            return beam_decode(params, enc, cfg, prompts,
+                               num_beams=self.num_beams,
+                               max_new_tokens=self.max_new_tokens,
+                               lora=lora, lora_scale=scale,
+                               cross_kv_int8=kv, self_kv_int8=kv)
+
         self._prep = jax.jit(prep)
         self._dec = jax.jit(dec, donate_argnums=(1,))
+        self._beam = jax.jit(beam)
         self._prompt_len = P
 
     # -- public API ---------------------------------------------------------
@@ -258,9 +278,13 @@ class TranscriptionService:
                     [self.cfg.prompt_ids(r.language or self.language)
                      for r in batch]
                     + [self.cfg.prompt_ids(self.language)] * pad, jnp.int32)
-                cache = self._prep(self.params, jnp.asarray(audio))
-                tokens, spent = self._dec(self.params, cache, prompts)
-                del spent
+                if self.num_beams > 1:
+                    tokens = self._beam(self.params, jnp.asarray(audio),
+                                        prompts)
+                else:
+                    cache = self._prep(self.params, jnp.asarray(audio))
+                    tokens, spent = self._dec(self.params, cache, prompts)
+                    del spent
                 detected = [None] * n
             from sar_tpu.decode.greedy import transcribe_tokens
             ids = transcribe_tokens(tokens[:n], self.cfg,

@@ -240,3 +240,29 @@ def test_service_batch_failure_fans_out(world):
         svc._prep = jax.jit(lambda p, m: None)  # never used: restore real
     finally:
         svc.close(drain=False)
+
+
+def test_service_beam_mode_matches_offline(world):
+    from sar_tpu.decode.beam import beam_decode
+    from sar_tpu.decode.greedy import transcribe_tokens
+    from sar_tpu.ops import mel as mel_ops
+    cfg, params, clips = world
+    audio = mel_ops.stack_pad_audio(clips[:2])
+    feats = mel_ops.log_mel_spectrogram(jnp.asarray(audio), cfg.num_mel_bins)
+    feats = feats[:, :, :cfg.num_audio_frames]
+    enc = whisper.encode(params, feats, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    want_tokens = beam_decode(params, enc, cfg, prompt, num_beams=2,
+                              max_new_tokens=6, cross_kv_int8=True,
+                              self_kv_int8=True)
+    want = [_Tok().decode(r) for r in transcribe_tokens(
+        want_tokens, cfg, prompt_len=int(prompt.shape[0]))]
+    with TranscriptionService(cfg, params, _Tok(), language="english",
+                              batch_size=2, max_wait_ms=300.0,
+                              max_new_tokens=6, num_beams=2,
+                              flash=False) as svc:
+        reqs = [svc.submit(c) for c in clips[:2]]
+        got = [r.result(timeout=300.0) for r in reqs]
+    assert got == want
+    with pytest.raises(ValueError):
+        TranscriptionService(router=object(), tokenizer=_Tok(), num_beams=2)
