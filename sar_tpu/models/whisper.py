@@ -411,6 +411,29 @@ def decode_train(params: Params, enc_out: jnp.ndarray, tokens: jnp.ndarray,
                    preferred_element_type=jnp.float32)
 
 
+def detect_language(params: Params, enc_out: jnp.ndarray,
+                    cfg: WhisperConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-shot language ID from the model itself (openai-whisper's
+    `detect_language`): the decoder sees only `<|sot|>` and the next-token
+    distribution is renormalized over the language tokens. Returns
+    (lang_index [B] int32 into WHISPER_LANGUAGES, probs [B, n_langs] fp32).
+
+    Complementary to the trained LID classifier
+    (sar_tpu/models/classifier.py — the reference's Phase-2 router signal):
+    this needs no training but only works with real multilingual weights.
+    """
+    from sar_tpu.models.config import WHISPER_LANGUAGES
+    B = enc_out.shape[0]
+    sot = jnp.full((B, 1), cfg.sot_token_id, jnp.int32)
+    logits = decode_train(params, enc_out, sot, cfg)[:, 0]
+    n = min(len(WHISPER_LANGUAGES),
+            cfg.vocab_size - cfg.lang_token_offset)
+    lang_logits = jax.lax.dynamic_slice_in_dim(
+        logits, cfg.lang_token_offset, n, axis=-1).astype(jnp.float32)
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    return jnp.argmax(probs, axis=-1).astype(jnp.int32), probs
+
+
 def decode_cross_attn(params: Params, enc_out: jnp.ndarray,
                       tokens: jnp.ndarray, cfg: WhisperConfig, *,
                       heads: tuple[tuple[int, int], ...],

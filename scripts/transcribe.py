@@ -39,7 +39,10 @@ def parse_args(argv=None):
     p.add_argument("audio", nargs="+", help="Audio files (wav; other "
                    "formats need soundfile)")
     p.add_argument("--model", type=str, default="whisper-small")
-    p.add_argument("--language", type=str, default="hindi")
+    p.add_argument("--language", type=str, default="hindi",
+                   help='Language name/code, or "auto" for zero-shot '
+                        "detection from the model's <|lang|> distribution "
+                        "(needs real multilingual weights)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="LoRA adapter dir (train_lora.py output)")
     p.add_argument("--max_new_tokens", type=int, default=256)
@@ -81,7 +84,9 @@ def main(argv=None):
     from sar_tpu.ops import mel as mel_ops
 
     cfg, params = load_base_model(args.model, dtype=jnp.bfloat16)
-    tokenizer = get_tokenizer(args.model, language=args.language)
+    tokenizer = get_tokenizer(
+        args.model,
+        language="english" if args.language == "auto" else args.language)
     lora = None
     lora_scale = 1.0
     if args.checkpoint:
@@ -95,6 +100,20 @@ def main(argv=None):
     for path in args.audio:
         audio = load_audio(path)
         seconds = len(audio) / mel_ops.SAMPLE_RATE
+        language = args.language
+        if language == "auto":
+            from sar_tpu.models import whisper
+            from sar_tpu.models.config import WHISPER_LANGUAGES
+            padded = mel_ops.stack_pad_audio([audio])
+            feats0 = mel_ops.log_mel_spectrogram(
+                jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
+            feats0 = feats0[:, :, :cfg.num_audio_frames]
+            enc0 = whisper.encode(params, feats0, cfg, lora=lora,
+                                  lora_scale=lora_scale)
+            idx, probs = whisper.detect_language(params, enc0, cfg)
+            language = WHISPER_LANGUAGES[int(idx[0])]
+            logger.info("detected language: %s (p=%.2f)", language,
+                        float(probs[0, int(idx[0])]))
         long = args.longform or seconds > mel_ops.CHUNK_SECONDS
         if args.num_beams > 1 and (args.streaming or long):
             logger.warning("--num_beams only applies to single-window "
@@ -117,7 +136,7 @@ def main(argv=None):
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
             st = StreamingTranscriber(cfg, params, tokenizer,
-                                      language=args.language,
+                                      language=language,
                                       max_new_tokens=args.max_new_tokens,
                                       lora=lora, lora_scale=lora_scale)
             step = int(args.stream_chunk_seconds * mel_ops.SAMPLE_RATE)
@@ -144,7 +163,7 @@ def main(argv=None):
         elif long:
             from sar_tpu.evaluation.longform import transcribe_long
             out = transcribe_long(audio, cfg, params, tokenizer,
-                                  language=args.language,
+                                  language=language,
                                   max_new_tokens=args.max_new_tokens,
                                   chunk_seconds=args.chunk_seconds,
                                   overlap_seconds=args.overlap_seconds,
@@ -174,7 +193,7 @@ def main(argv=None):
             # --timestamps drops <|notimestamps|> from the prompt and turns
             # on the timestamp grammar inside the compiled loop.
             prompt = jnp.asarray(
-                cfg.prompt_ids(args.language,
+                cfg.prompt_ids(language,
                                no_timestamps=not args.timestamps), jnp.int32)
             if args.num_beams > 1:
                 tokens = beam_decode(params, enc, cfg, prompt,
@@ -214,7 +233,7 @@ def main(argv=None):
                 jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
             feats = feats[:, :, :cfg.num_audio_frames]
             (text,), (row,) = transcribe_batch_with_fallback(
-                cfg, params, feats, tokenizer, language=args.language,
+                cfg, params, feats, tokenizer, language=language,
                 max_new_tokens=args.max_new_tokens,
                 lora=lora, lora_scale=lora_scale)
             logger.info("accepted at T=%.1f (avg_logprob %.3f, "
@@ -224,7 +243,7 @@ def main(argv=None):
         else:
             from sar_tpu.evaluation.evaluator import transcribe_audio
             text = transcribe_audio(audio, cfg, params, tokenizer,
-                                    language=args.language,
+                                    language=language,
                                     max_new_tokens=args.max_new_tokens,
                                     lora=lora, lora_scale=lora_scale)
             print(text)

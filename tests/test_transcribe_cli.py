@@ -107,3 +107,35 @@ def test_transcribe_word_timestamps(wav, capsys):
         assert float(a) <= float(b)
     joined = "".join(w for _, _, w in lines)
     assert "".join(joined.split()) == "".join(results[wav].split())
+
+
+def test_detect_language_unit():
+    """Zero-shot LID (openai detect_language parity): probs over the
+    language-token block, renormalized, deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import MODEL_CONFIGS, WHISPER_LANGUAGES
+    cfg = MODEL_CONFIGS["whisper-test"]
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal(
+        (3, cfg.num_mel_bins, cfg.max_source_positions * 2)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    idx, probs = whisper.detect_language(params, enc, cfg)
+    assert idx.shape == (3,) and probs.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+    assert all(0 <= int(i) < len(WHISPER_LANGUAGES) for i in np.asarray(idx))
+    idx2, _ = whisper.detect_language(params, enc, cfg)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+
+
+def test_transcribe_language_auto(wav, caplog):
+    import transcribe
+    with caplog.at_level("INFO"):
+        results = transcribe.main([wav, "--model", "whisper-test",
+                                   "--language", "auto",
+                                   "--max_new_tokens", "6"])
+    assert isinstance(results[wav], str)
+    assert any("detected language" in r.message for r in caplog.records)
