@@ -82,7 +82,8 @@ class FallbackTranscriber:
                  logprob_threshold: float | None = -1.0,
                  lora=None, lora_scale: float = 1.0,
                  kv_int8: bool = True, flash: str | bool = "auto",
-                 seed: int = 0, prompt_tokens=None):
+                 seed: int = 0, prompt_tokens=None,
+                 timestamps: bool = False):
         from functools import partial
 
         from sar_tpu.models import whisper
@@ -96,9 +97,15 @@ class FallbackTranscriber:
         self._base_key = jax.random.PRNGKey(seed)
         use_flash = (("hm" if jax.default_backend() == "tpu" else False)
                      if flash == "auto" else flash)
+        # timestamps=True decodes with the Whisper timestamp grammar:
+        # <|notimestamps|> leaves the prompt and timestamp tokens appear in
+        # the output ids; quality thresholds are computed on the
+        # timestamp-stripped text.
+        self.timestamps = timestamps
         self._prompt = jnp.asarray(
             list(prompt_tokens) if prompt_tokens is not None
-            else cfg.prompt_ids(language), jnp.int32)
+            else cfg.prompt_ids(language, no_timestamps=not timestamps),
+            jnp.int32)
         total = min(int(self._prompt.shape[0]) + max_new_tokens,
                     cfg.max_target_positions)
 
@@ -118,7 +125,8 @@ class FallbackTranscriber:
             return greedy_decode_from_cache(
                 params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
                 temperature=temperature, rng=rng, with_logprobs=True,
-                with_no_speech=True, return_cache=True)
+                with_no_speech=True, return_cache=True,
+                timestamps=timestamps)
 
         self._prep = jax.jit(prep)
         self._dec = partial(jax.jit, donate_argnums=(1,))(dec)
@@ -146,15 +154,25 @@ class FallbackTranscriber:
             ns_prob = np.asarray(ns_prob)
             still = []
             for b in pending:
-                text = self.tokenizer.decode(ids[b])
+                row_ids = ids[b]
+                if self.timestamps:
+                    # thresholds judge the TEXT; timestamp tokens would
+                    # poison the compression ratio.
+                    text_ids = [i for i in row_ids
+                                if i < cfg.no_timestamps_token_id]
+                else:
+                    text_ids = row_ids
+                text = self.tokenizer.decode(text_ids)
                 avg_lp = float(sum_lp[b] / max(int(n_sc[b]), 1))
                 row = {"temperature": float(temperature),
                        "avg_logprob": avg_lp,
                        "no_speech_prob": float(ns_prob[b]),
                        "compression_ratio": compression_ratio(text),
-                       # accepted token ids (stripped) — the word-timestamp
-                       # aligner rebuilds its buffer from these
-                       "ids": list(ids[b])}
+                       # accepted token ids (stripped of prompt/EOS, incl.
+                       # timestamp tokens when the grammar is on) — the
+                       # word-timestamp aligner and the segment splitter
+                       # consume these
+                       "ids": list(row_ids)}
                 texts[b], info[b] = text, row
                 last = t_idx == len(self.temperatures) - 1
                 if not last and needs_retry(

@@ -66,20 +66,26 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     lora_scale: float = 1.0, fallback: bool = False,
                     no_speech_threshold: float | None = 0.6,
                     logprob_threshold: float | None = -1.0,
-                    word_timestamps: bool = False):
+                    word_timestamps: bool = False,
+                    timestamps: bool = False):
     """Transcribe arbitrarily long audio.
 
-    Returns the joined text, or (text, words) when `word_timestamps=True` —
-    words are [{"word", "start", "end"}] on the global clock, in order.
+    Returns the joined text; (text, words) when `word_timestamps=True` —
+    words are [{"word", "start", "end"}] on the global clock, in order; or
+    (text, segments) when `timestamps=True` — each window decodes with the
+    Whisper timestamp grammar and its (start, end, text) segments land on
+    the global clock (chunk offsets applied).
 
     `fallback=True` runs each window through the openai-style robust
     decode (evaluation/fallback.py): temperature escalation on degenerate
     output, plus the no-speech gate — windows with
     p(<|nospeech|>) > no_speech_threshold and unconfident text are
     dropped as silence (openai transcribe.py's exact skip rule)."""
+    if timestamps and word_timestamps:
+        raise ValueError("pick timestamps (segments) OR word_timestamps")
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
-    if not fallback and not word_timestamps:
+    if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
         texts = batch_transcribe(chunks, cfg, params, tokenizer,
                                  language=language, batch_size=batch_size,
@@ -98,15 +104,17 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     transcriber = FallbackTranscriber(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
+        timestamps=timestamps,
         **({"logprob_threshold": logprob_threshold} if fallback
            else {"temperatures": (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))
-    prompt = cfg.prompt_ids(language)
+    prompt = cfg.prompt_ids(language, no_timestamps=not timestamps)
     P = len(prompt)
     eos = cfg.eos_token_id
     texts: list[str] = []
     words: list[dict] = []
+    segments: list[tuple] = []
     for s in range(0, len(chunks), batch_size):
         group = pairs[s:s + batch_size]
         n = len(group)
@@ -125,6 +133,17 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                 continue
             kept.append(b)
             texts.append(text)
+            if timestamps:
+                from sar_tpu.decode.timestamps import split_segments
+                off = group[b][1]
+                for t0, t1, toks in split_segments(row["ids"], cfg):
+                    seg_text = tokenizer.decode(toks).strip()
+                    if not seg_text:
+                        continue
+                    segments.append((
+                        None if t0 is None else round(t0 + off, 2),
+                        None if t1 is None else round(t1 + off, 2),
+                        seg_text))
         if word_timestamps and kept:
             from sar_tpu.decode.align import align_words
             # Rebuild the decode buffers from the ACCEPTED ids (the
@@ -149,4 +168,6 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     text = " ".join(t.strip() for t in texts if t.strip())
     if word_timestamps:
         return text, words
+    if timestamps:
+        return text, segments
     return text

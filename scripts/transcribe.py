@@ -119,10 +119,9 @@ def main(argv=None):
             logger.warning("--num_beams only applies to single-window "
                            "decoding; %s uses greedy",
                            "streaming" if args.streaming else "long-form")
-        if args.timestamps and (args.streaming or long):
-            logger.warning("--timestamps applies to single-window decoding; "
-                           "ignored for %s",
-                           "streaming" if args.streaming else "long-form")
+        if args.timestamps and args.streaming:
+            logger.warning("--timestamps does not apply to streaming; "
+                           "ignored")
         if args.fallback and (args.streaming or args.num_beams > 1
                               or args.timestamps):
             logger.warning("--fallback applies to greedy single-window or "
@@ -169,13 +168,21 @@ def main(argv=None):
                                   overlap_seconds=args.overlap_seconds,
                                   lora=lora, lora_scale=lora_scale,
                                   fallback=args.fallback,
-                                  word_timestamps=args.word_timestamps)
-            if args.word_timestamps:
+                                  word_timestamps=(args.word_timestamps
+                                                   and not args.timestamps),
+                                  timestamps=args.timestamps)
+            if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 print(text)
                 for w in long_words:
                     print(f"[{w['start']:7.2f} -> {w['end']:7.2f}] "
                           f"{w['word']}")
+            elif args.timestamps:
+                text, segments = out
+                for t0, t1, seg_text in segments:
+                    a = "?" if t0 is None else f"{t0:7.2f}"
+                    z = "?" if t1 is None else f"{t1:7.2f}"
+                    print(f"[{a} -> {z}] {seg_text}")
             else:
                 text = out
                 print(text)

@@ -44,3 +44,32 @@ def test_transcribe_long_flow(rng):
     text = transcribe_long(audio, cfg, params, tok, language="english",
                            max_new_tokens=4, batch_size=2)
     assert isinstance(text, str)
+
+
+def test_transcribe_long_segment_timestamps(rng):
+    """timestamps=True: each window decodes under the timestamp grammar and
+    segments land on the global clock (chunk offsets applied)."""
+    import jax
+
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    audio = (rng.standard_normal(int(1.8 * 16000)) * 0.1).astype(np.float32)
+    text, segments = transcribe_long(audio, cfg, params, CharTokenizer(cfg),
+                                     language="english", max_new_tokens=8,
+                                     chunk_seconds=0.6, batch_size=2,
+                                     timestamps=True)
+    assert isinstance(text, str)
+    starts = [s for s, _, _ in segments if s is not None]
+    assert starts == sorted(starts)
+    for t0, t1, seg_text in segments:
+        assert seg_text.strip()
+        if t0 is not None and t1 is not None:
+            assert 0.0 <= t0 <= t1 <= 2.0
+    with pytest.raises(ValueError):
+        transcribe_long(audio, cfg, params, CharTokenizer(cfg),
+                        chunk_seconds=0.6, timestamps=True,
+                        word_timestamps=True)
