@@ -17,8 +17,14 @@ cd "$(dirname "$0")/.."
 
 MODEL=${1:-whisper-small}
 LANGUAGE=${2:-hindi}
-PORT=${3:-8000}
-shift $(( $# > 3 ? 3 : $# )) || true
+PORT=8000
+[ $# -ge 1 ] && shift
+[ $# -ge 1 ] && shift
+# Optional [port] positional: only consume it if the next arg isn't a flag.
+if [ $# -ge 1 ] && [ "${1#-}" = "$1" ]; then
+  PORT=$1
+  shift
+fi
 
 ARGS=(--model "$MODEL" --port "$PORT" --batch_size "${BATCH_SIZE:-16}" \
       --max_wait_ms "${MAX_WAIT_MS:-20}")

@@ -30,6 +30,7 @@ in the stack).
 from __future__ import annotations
 
 import functools
+import string
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,9 @@ from sar_tpu.models import whisper
 # One encoder frame = 2 mel hops = 20 ms of audio.
 FRAME_SECONDS = 0.02
 
-_PUNCT = set("\"'.。,，!！?？:：”)]}、")
+# openai split_tokens_on_spaces uses string.punctuation; the CJK marks
+# extend it for the non-ASCII scripts this framework targets.
+_PUNCT = set(string.punctuation) | set("。，！？：”、")
 
 
 def default_alignment_heads(cfg) -> tuple[tuple[int, int], ...]:

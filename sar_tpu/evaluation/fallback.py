@@ -44,14 +44,23 @@ def compression_ratio(text: str) -> float:
 
 def needs_retry(text: str, avg_logprob: float, *,
                 compression_ratio_threshold: float | None = 2.4,
-                logprob_threshold: float | None = -1.0) -> bool:
-    """openai transcribe.py's needs_fallback logic (thresholds None = off)."""
+                logprob_threshold: float | None = -1.0,
+                no_speech_prob: float | None = None,
+                no_speech_threshold: float | None = None) -> bool:
+    """openai transcribe.py's needs_fallback logic (thresholds None = off):
+    repetitive or unconfident text retries — UNLESS the window is probably
+    silence (no_speech_prob above threshold), which never retries (the
+    skip rule handles it instead)."""
+    retry = False
     if (compression_ratio_threshold is not None
             and compression_ratio(text) > compression_ratio_threshold):
-        return True
+        retry = True
     if (logprob_threshold is not None and avg_logprob < logprob_threshold):
-        return True
-    return False
+        retry = True
+    if (no_speech_threshold is not None and no_speech_prob is not None
+            and no_speech_prob > no_speech_threshold):
+        retry = False
+    return retry
 
 
 def should_skip_silence(row: dict, *,
@@ -80,6 +89,7 @@ class FallbackTranscriber:
                  temperatures=DEFAULT_TEMPERATURES,
                  compression_ratio_threshold: float | None = 2.4,
                  logprob_threshold: float | None = -1.0,
+                 no_speech_threshold: float | None = 0.6,
                  lora=None, lora_scale: float = 1.0,
                  kv_int8: bool = True, flash: str | bool = "auto",
                  seed: int = 0, prompt_tokens=None,
@@ -94,7 +104,9 @@ class FallbackTranscriber:
         self.temperatures = tuple(temperatures)
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
         self._base_key = jax.random.PRNGKey(seed)
+        self._calls = 0
         use_flash = (("hm" if jax.default_backend() == "tpu" else False)
                      if flash == "auto" else flash)
         # timestamps=True decodes with the Whisper timestamp grammar:
@@ -109,10 +121,14 @@ class FallbackTranscriber:
         total = min(int(self._prompt.shape[0]) + max_new_tokens,
                     cfg.max_target_positions)
 
-        def prep(params, mel):
-            enc = whisper.encode(params, mel, cfg, lora=lora,
-                                 lora_scale=lora_scale, flash=use_flash)
-            return whisper.init_cache(params, enc, cfg, max_len=total,
+        # Encode ONCE per batch; only the (donated, consumed) cache is
+        # rebuilt per escalation pass — the encoder never re-runs.
+        def enc(params, mel):
+            return whisper.encode(params, mel, cfg, lora=lora,
+                                  lora_scale=lora_scale, flash=use_flash)
+
+        def mkcache(params, enc_out):
+            return whisper.init_cache(params, enc_out, cfg, max_len=total,
                                       lora=lora, lora_scale=lora_scale,
                                       cross_kv_int8=kv_int8,
                                       self_kv_int8=kv_int8)
@@ -128,7 +144,8 @@ class FallbackTranscriber:
                 with_no_speech=True, return_cache=True,
                 timestamps=timestamps)
 
-        self._prep = jax.jit(prep)
+        self._enc = jax.jit(enc)
+        self._mkcache = jax.jit(mkcache)
         self._dec = partial(jax.jit, donate_argnums=(1,))(dec)
 
     def __call__(self, mel, n_valid: int | None = None):
@@ -140,10 +157,16 @@ class FallbackTranscriber:
         info: list[dict | None] = [None] * B
         pending = list(range(B if n_valid is None else min(n_valid, B)))
         P = int(self._prompt.shape[0])
+        # Fold a per-call counter into the key so windows/batches resample
+        # independently (openai advances its RNG per decode; identical
+        # noise across windows would correlate their retry failures).
+        self._calls += 1
+        call_key = jax.random.fold_in(self._base_key, self._calls)
 
+        enc_out = self._enc(self.params, mel)
         for t_idx, temperature in enumerate(self.temperatures):
-            cache = self._prep(self.params, mel)
-            rng = jax.random.fold_in(self._base_key, t_idx)
+            cache = self._mkcache(self.params, enc_out)
+            rng = jax.random.fold_in(call_key, t_idx)
             tokens, sum_lp, n_sc, ns_prob, spent = self._dec(
                 self.params, cache, self._prompt, rng,
                 jnp.float32(temperature))
@@ -179,7 +202,9 @@ class FallbackTranscriber:
                         text, avg_lp,
                         compression_ratio_threshold=(
                             self.compression_ratio_threshold),
-                        logprob_threshold=self.logprob_threshold):
+                        logprob_threshold=self.logprob_threshold,
+                        no_speech_prob=row["no_speech_prob"],
+                        no_speech_threshold=self.no_speech_threshold):
                     still.append(b)
             pending = still
             if not pending:

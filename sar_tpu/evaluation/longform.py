@@ -105,7 +105,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
         timestamps=timestamps,
-        **({"logprob_threshold": logprob_threshold} if fallback
+        **({"logprob_threshold": logprob_threshold,
+            "no_speech_threshold": no_speech_threshold} if fallback
            else {"temperatures": (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))

@@ -130,12 +130,15 @@ class TranscriptionService:
                 idx = idx.astype(jnp.int32)
                 enc = whisper.encode(params, feats, cfg, lora=router.bank,
                                      adapter_idx=idx,
-                                     lora_scale=router.lora_cfg.scale)
+                                     lora_scale=router.lora_cfg.scale,
+                                     flash=self.flash)
                 prompts = router._prompts[idx]
                 tokens = greedy_decode(params, enc, cfg, prompts,
                                        max_new_tokens=self.max_new_tokens,
                                        lora=router.bank, adapter_idx=idx,
-                                       lora_scale=router.lora_cfg.scale)
+                                       lora_scale=router.lora_cfg.scale,
+                                       cross_kv_int8=self.kv_int8,
+                                       self_kv_int8=self.kv_int8)
                 return tokens, idx, probs
 
             self._routed = jax.jit(routed)
@@ -186,11 +189,22 @@ class TranscriptionService:
                block: bool = True) -> _Request:
         """Enqueue; returns a handle with `.result(timeout)`. Raises
         queue.Full when the service is saturated and block=False
-        (backpressure — HTTP layer turns it into 503)."""
+        (backpressure — HTTP layer turns it into 503). Invalid requests
+        (unknown language, audio beyond the model window) are rejected
+        HERE with ValueError so one bad request can never fail the
+        micro-batch it would have joined."""
         if self._stop.is_set():
             raise RuntimeError("service is closed")
-        req = _Request(np.asarray(audio, np.float32), language,
-                       threading.Event(), time.monotonic())
+        audio = np.asarray(audio, np.float32)
+        max_samples = self.cfg.num_audio_frames * 160   # mel hop @16 kHz
+        if len(audio) > max_samples:
+            raise ValueError(
+                f"audio is {len(audio) / 16000:.1f} s; the serving window "
+                f"is {max_samples / 16000:.1f} s — chunk long clips "
+                "client-side or use transcribe.py --longform")
+        if language is not None and self.router is None:
+            self.cfg.prompt_ids(language)   # raises for unknown languages
+        req = _Request(audio, language, threading.Event(), time.monotonic())
         self._q.put(req, block=block)
         with self._lock:
             self._stats["requests"] += 1

@@ -108,29 +108,42 @@ def main(argv=None):
             feats0 = mel_ops.log_mel_spectrogram(
                 jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
             feats0 = feats0[:, :, :cfg.num_audio_frames]
-            enc0 = whisper.encode(params, feats0, cfg, lora=lora,
-                                  lora_scale=lora_scale)
+            # Detection runs on the BASE model: detect_language's decoder
+            # pass has no adapter, so feeding it adapter-modified encoder
+            # activations would score an untrained weight combination.
+            enc0 = whisper.encode(params, feats0, cfg)
             idx, probs = whisper.detect_language(params, enc0, cfg)
             language = WHISPER_LANGUAGES[int(idx[0])]
             logger.info("detected language: %s (p=%.2f)", language,
                         float(probs[0, int(idx[0])]))
         long = args.longform or seconds > mel_ops.CHUNK_SECONDS
-        if args.num_beams > 1 and (args.streaming or long):
-            logger.warning("--num_beams only applies to single-window "
-                           "decoding; %s uses greedy",
-                           "streaming" if args.streaming else "long-form")
-        if args.timestamps and args.streaming:
-            logger.warning("--timestamps does not apply to streaming; "
-                           "ignored")
-        if args.fallback and (args.streaming or args.num_beams > 1
-                              or args.timestamps):
-            logger.warning("--fallback applies to greedy single-window or "
-                           "long-form decoding; ignored here")
-        if args.word_timestamps and (args.streaming or args.timestamps
-                                     or (args.fallback and not long)):
-            logger.warning("--word_timestamps applies to plain-text "
-                           "decoding (single-window or long-form); "
-                           "ignored here")
+        # Conflict warnings mirror the dispatch below exactly: each names
+        # the flag that actually gets dropped on this path.
+        if args.streaming:
+            for flag, on in [("--num_beams", args.num_beams > 1),
+                             ("--timestamps", args.timestamps),
+                             ("--word_timestamps", args.word_timestamps),
+                             ("--fallback", args.fallback)]:
+                if on:
+                    logger.warning("%s does not apply to streaming; "
+                                   "ignored", flag)
+        elif long:
+            if args.num_beams > 1:
+                logger.warning("--num_beams only applies to single-window "
+                               "decoding; long-form uses greedy")
+            if args.timestamps and args.word_timestamps:
+                logger.warning("--timestamps and --word_timestamps are "
+                               "exclusive; long-form emits segments "
+                               "(--word_timestamps ignored)")
+        else:
+            if args.fallback and (args.num_beams > 1 or args.timestamps
+                                  or args.word_timestamps):
+                logger.warning("--fallback is greedy plain-text only in "
+                               "single-window mode; ignored here")
+            if args.timestamps and args.word_timestamps:
+                logger.warning("--timestamps and --word_timestamps are "
+                               "exclusive; emitting segments "
+                               "(--word_timestamps ignored)")
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber

@@ -206,3 +206,13 @@ def test_evaluator_fallback_mode(setup):
                       max_new_tokens=6, num_beams=2, flash=False,
                       fallback=True)
     assert ev2.fallback is False
+
+
+def test_needs_retry_silence_override():
+    loop = "la la la la " * 8
+    # silence (high no-speech prob) never retries, whatever the text
+    assert needs_retry(loop, -5.0)
+    assert not needs_retry(loop, -5.0, no_speech_prob=0.9,
+                           no_speech_threshold=0.6)
+    assert needs_retry(loop, -5.0, no_speech_prob=0.3,
+                       no_speech_threshold=0.6)

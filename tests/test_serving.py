@@ -134,9 +134,12 @@ def test_service_routed_mode(world):
     want = [_Tok().decode(r) for r in transcribe_tokens(
         want_tokens, cfg, prompt_len=router.prompt_len)]
 
+    # kv_int8=False so the program matches router.generate (bf16 KV)
+    # bit-for-bit; the int8 path is covered by the decode suites.
     with TranscriptionService(router=router, tokenizer=_Tok(),
                               batch_size=2, max_wait_ms=300.0,
-                              max_new_tokens=6, flash=False) as svc:
+                              max_new_tokens=6, flash=False,
+                              kv_int8=False) as svc:
         reqs = [svc.submit(c) for c in clips[:2]]
         got = [r.result(timeout=300.0) for r in reqs]
         detected = [r.detected for r in reqs]
@@ -266,3 +269,17 @@ def test_service_beam_mode_matches_offline(world):
     assert got == want
     with pytest.raises(ValueError):
         TranscriptionService(router=object(), tokenizer=_Tok(), num_beams=2)
+
+
+def test_submit_validation_protects_batch(world):
+    cfg, params, clips = world
+    svc = TranscriptionService(cfg, params, _Tok(), language="english",
+                               batch_size=2, max_new_tokens=6, flash=False)
+    try:
+        with pytest.raises(ValueError, match="klingon"):
+            svc.submit(clips[0], language="klingon")
+        too_long = np.zeros(cfg.num_audio_frames * 160 + 1, np.float32)
+        with pytest.raises(ValueError, match="longform"):
+            svc.submit(too_long)
+    finally:
+        svc.close(drain=False)
