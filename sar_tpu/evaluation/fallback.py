@@ -93,7 +93,7 @@ class FallbackTranscriber:
                  lora=None, lora_scale: float = 1.0,
                  kv_int8: bool = True, flash: str | bool = "auto",
                  seed: int = 0, prompt_tokens=None,
-                 timestamps: bool = False):
+                 timestamps: bool = False, prompt_width: int | None = None):
         from functools import partial
 
         from sar_tpu.models import whisper
@@ -102,6 +102,7 @@ class FallbackTranscriber:
         self.params = params
         self.tokenizer = tokenizer
         self.temperatures = tuple(temperatures)
+        self.max_new_tokens = max_new_tokens
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
@@ -118,8 +119,11 @@ class FallbackTranscriber:
             list(prompt_tokens) if prompt_tokens is not None
             else cfg.prompt_ids(language, no_timestamps=not timestamps),
             jnp.int32)
-        total = min(int(self._prompt.shape[0]) + max_new_tokens,
-                    cfg.max_target_positions)
+        # prompt_width reserves buffer room for WIDER per-call prompts
+        # (conditioned long-form prepends <|startofprev|> + context; the
+        # actual forced length rides as a traced prompt_len).
+        width = max(int(self._prompt.shape[0]), prompt_width or 0)
+        total = min(width + max_new_tokens, cfg.max_target_positions)
 
         # Encode ONCE per batch; only the (donated, consumed) cache is
         # rebuilt per escalation pass — the encoder never re-runs.
@@ -136,10 +140,11 @@ class FallbackTranscriber:
         # temperature is a TRACED scalar (Gumbel-max in the loop): one
         # compiled decode program serves every escalation step, T=0.0
         # included.
-        def dec(params, cache, prompt, rng, temperature):
+        def dec(params, cache, prompt, plen, rng, temperature):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
             return greedy_decode_from_cache(
-                params, cache, cfg, prompt, lora=lora, lora_scale=lora_scale,
+                params, cache, cfg, prompt, prompt_len=plen,
+                lora=lora, lora_scale=lora_scale,
                 temperature=temperature, rng=rng, with_logprobs=True,
                 with_no_speech=True, return_cache=True,
                 timestamps=timestamps)
@@ -148,7 +153,13 @@ class FallbackTranscriber:
         self._mkcache = jax.jit(mkcache)
         self._dec = partial(jax.jit, donate_argnums=(1,))(dec)
 
-    def __call__(self, mel, n_valid: int | None = None):
+    def __call__(self, mel, n_valid: int | None = None, prompt=None,
+                 prompt_len: int | None = None):
+        """`prompt`/`prompt_len` override the constructor prompt per call
+        (conditioned decoding): `prompt` is an id buffer (width <= the
+        constructor's prompt_width budget; one compiled program per
+        distinct width) and `prompt_len` the forced-prefix length — a
+        TRACED scalar, so varying context lengths reuse the program."""
         from sar_tpu.decode.greedy import transcribe_tokens
         cfg = self.cfg
         mel = jnp.asarray(mel)
@@ -156,7 +167,9 @@ class FallbackTranscriber:
         texts: list[str | None] = [None] * B
         info: list[dict | None] = [None] * B
         pending = list(range(B if n_valid is None else min(n_valid, B)))
-        P = int(self._prompt.shape[0])
+        prompt = self._prompt if prompt is None else jnp.asarray(
+            prompt, jnp.int32)
+        P = int(prompt.shape[-1]) if prompt_len is None else int(prompt_len)
         # Fold a per-call counter into the key so windows/batches resample
         # independently (openai advances its RNG per decode; identical
         # noise across windows would correlate their retry failures).
@@ -168,7 +181,7 @@ class FallbackTranscriber:
             cache = self._mkcache(self.params, enc_out)
             rng = jax.random.fold_in(call_key, t_idx)
             tokens, sum_lp, n_sc, ns_prob, spent = self._dec(
-                self.params, cache, self._prompt, rng,
+                self.params, cache, prompt, jnp.int32(P), rng,
                 jnp.float32(temperature))
             del spent
             ids = transcribe_tokens(tokens, cfg, prompt_len=P)
@@ -177,7 +190,12 @@ class FallbackTranscriber:
             ns_prob = np.asarray(ns_prob)
             still = []
             for b in pending:
-                row_ids = ids[b]
+                # The loop decodes to the buffer end; when the actual
+                # prompt is narrower than the prompt_width budget that is
+                # MORE than max_new_tokens new ids — enforce the contract
+                # here (also keeps the word-aligner's buffer inside
+                # max_target_positions).
+                row_ids = ids[b][:self.max_new_tokens]
                 if self.timestamps:
                     # thresholds judge the TEXT; timestamp tokens would
                     # poison the compression ratio.

@@ -4,18 +4,20 @@ The reference simply DROPS clips longer than 30 s (duration filter at
 /root/reference/src/data/dataset.py:59-77); there is no long-audio path at
 all. Here: the waveform is split into 30 s chunks, all chunks transcribe as
 ONE batch through the compiled pipeline (mel + encode + KV-cached greedy),
-and the texts are joined in order. Sequential conditioning on previous text
-is deliberately not used (the reference never decodes with prompts either);
-chunk boundaries may split a word — pass `overlap_seconds` to bias against
-mid-speech cuts by trimming half the overlap from each side's text is NOT
-attempted (text-level merging is tokenizer-specific); overlap simply re-cues
-the acoustic context.
+and the texts are joined in order. By default windows decode independently
+(batched — the throughput path); chunk boundaries may split a word — pass
+`overlap_seconds` to re-cue the acoustic context (text-level merging is
+tokenizer-specific and not attempted).
 
 Composable extras (openai-whisper transcribe-loop parity):
 - `fallback=True`: per-window temperature escalation + the no-speech
   silence gate (evaluation/fallback.py).
 - `word_timestamps=True`: per-word [start, end] with GLOBAL times (chunk
   offsets applied), via the cross-attention DTW aligner (decode/align.py).
+- `timestamps=True`: per-window timestamp-grammar decode, global segments.
+- `condition_on_previous_text=True` / `initial_prompt=...`: openai's
+  sequential conditioned loop — `<|startofprev|>` + previous text in the
+  decoder prompt, with the high-temperature prompt-reset rule.
 """
 
 from __future__ import annotations
@@ -67,7 +69,9 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     no_speech_threshold: float | None = 0.6,
                     logprob_threshold: float | None = -1.0,
                     word_timestamps: bool = False,
-                    timestamps: bool = False):
+                    timestamps: bool = False,
+                    condition_on_previous_text: bool = False,
+                    initial_prompt: str | None = None):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -80,10 +84,27 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     decode (evaluation/fallback.py): temperature escalation on degenerate
     output, plus the no-speech gate — windows with
     p(<|nospeech|>) > no_speech_threshold and unconfident text are
-    dropped as silence (openai transcribe.py's exact skip rule)."""
+    dropped as silence (openai transcribe.py's exact skip rule).
+
+    `condition_on_previous_text=True` / `initial_prompt` switch to the
+    SEQUENTIAL conditioned loop (openai's default transcribe behavior):
+    each window's decoder prompt carries `<|startofprev|>` + the previous
+    windows' text (reset after any window accepted at temperature > 0.5,
+    openai's prompt-reset rule), trading the batched windows' throughput
+    for cross-window consistency. The context length rides as a TRACED
+    prompt_len, so every window reuses one compiled decode program."""
     if timestamps and word_timestamps:
         raise ValueError("pick timestamps (segments) OR word_timestamps")
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
+    if condition_on_previous_text or initial_prompt is not None:
+        return _transcribe_long_conditioned(
+            pairs, cfg, params, tokenizer, language=language,
+            max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
+            fallback=fallback, no_speech_threshold=no_speech_threshold,
+            logprob_threshold=logprob_threshold, timestamps=timestamps,
+            word_timestamps=word_timestamps,
+            condition=condition_on_previous_text,
+            initial_prompt=initial_prompt)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
@@ -166,6 +187,118 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                               "start": round(w["start"] + off, 3),
                               "end": round(w["end"] + off, 3)}
                              for w in aligned[b])
+    text = " ".join(t.strip() for t in texts if t.strip())
+    if word_timestamps:
+        return text, words
+    if timestamps:
+        return text, segments
+    return text
+
+
+def _encode_prompt_text(tokenizer, text: str, cfg) -> list[int]:
+    """Tokenize free text for the decoder context (no specials). HF
+    tokenizers take add_special_tokens=False; the CharTokenizer surface
+    (prompt + body + eos) is sliced instead."""
+    try:
+        return list(tokenizer.encode(" " + text.strip(),
+                                     add_special_tokens=False))
+    except TypeError:
+        ids = list(tokenizer.encode(" " + text.strip()))
+        return ids[len(cfg.prompt_ids("english")):-1]
+
+
+def _transcribe_long_conditioned(
+        pairs, cfg, params, tokenizer, *, language, max_new_tokens,
+        lora, lora_scale, fallback, no_speech_threshold, logprob_threshold,
+        timestamps, word_timestamps, condition, initial_prompt):
+    """Sequential conditioned loop (see transcribe_long docstring)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sar_tpu.evaluation.fallback import (FallbackTranscriber,
+                                             should_skip_silence)
+
+    std = cfg.prompt_ids(language, no_timestamps=not timestamps)
+    P_std = len(std)
+    # Context budget: openai uses n_text_ctx//2 - 1 = 223; bounded by what
+    # the target-position budget leaves after the prompt and new tokens.
+    C = max(0, min(223, cfg.max_target_positions - P_std
+                   - max_new_tokens - 1))
+    width = P_std + (C + 1 if C else 0)
+    transcriber = FallbackTranscriber(
+        cfg, params, tokenizer, language=language,
+        max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
+        timestamps=timestamps, prompt_width=width,
+        **({"logprob_threshold": logprob_threshold,
+            "no_speech_threshold": no_speech_threshold} if fallback
+           else {"temperatures": (0.0,),
+                 "compression_ratio_threshold": None,
+                 "logprob_threshold": None}))
+    ctx: list[int] = ([] if initial_prompt is None
+                      else _encode_prompt_text(tokenizer, initial_prompt,
+                                               cfg)[-C:] if C else [])
+    ts_begin = cfg.no_timestamps_token_id + 1
+    eos = cfg.eos_token_id
+    texts: list[str] = []
+    words: list[dict] = []
+    segments: list[tuple] = []
+    for chunk, off in pairs:
+        padded = mel_ops.stack_pad_audio([chunk])
+        feats = mel_ops.log_mel_spectrogram(
+            jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
+        feats = feats[:, :, :cfg.num_audio_frames]
+        if ctx and C:
+            ids = [cfg.prev_sot_token_id] + ctx[-C:] + std
+        else:
+            ids = list(std)
+        buf = np.full((1, width), eos, np.int32)
+        buf[0, :len(ids)] = ids
+        (text,), (row,) = transcriber(feats, prompt=buf,
+                                      prompt_len=len(ids))
+        skipped = fallback and should_skip_silence(
+            row, no_speech_threshold=no_speech_threshold,
+            logprob_threshold=logprob_threshold)
+        if not skipped:
+            texts.append(text)
+            if timestamps:
+                from sar_tpu.decode.timestamps import split_segments
+                for t0, t1, toks in split_segments(row["ids"], cfg):
+                    seg_text = tokenizer.decode(toks).strip()
+                    if seg_text:
+                        segments.append((
+                            None if t0 is None else round(t0 + off, 2),
+                            None if t1 is None else round(t1 + off, 2),
+                            seg_text))
+            elif word_timestamps and row["ids"]:
+                from sar_tpu.decode.align import align_words
+                # openai aligns WITHOUT the previous-text context (its
+                # find_alignment prompt is the bare sot sequence).
+                abuf = np.full((1, P_std + len(row["ids"]) + 1), eos,
+                               np.int32)
+                abuf[0, :P_std] = std
+                abuf[0, P_std:P_std + len(row["ids"])] = row["ids"]
+                frames = [max(2, -(-len(chunk) // (2 * mel_ops.HOP_LENGTH)))]
+                aligned = align_words(params, feats, jnp.asarray(abuf), cfg,
+                                      tokenizer, prompt_len=P_std, lora=lora,
+                                      lora_scale=lora_scale,
+                                      num_frames=frames)[0]
+                words.extend({"word": w["word"],
+                              "start": round(w["start"] + off, 3),
+                              "end": round(w["end"] + off, 3)}
+                             for w in aligned)
+        # openai's prompt-reset rule: sampled-at-high-temperature windows
+        # poison the context; skipped (silent) windows contribute nothing.
+        if condition:
+            if row["temperature"] > 0.5:
+                ctx = []
+            elif not skipped:
+                new = row["ids"]
+                if timestamps:
+                    new = [t for t in new if t < ts_begin]
+                ctx.extend(int(t) for t in new)
+                ctx = ctx[-C:] if C else []
+        else:
+            ctx = []        # initial_prompt conditions the FIRST window only
     text = " ".join(t.strip() for t in texts if t.strip())
     if word_timestamps:
         return text, words

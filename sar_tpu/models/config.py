@@ -66,6 +66,13 @@ class WhisperConfig:
         return self.no_timestamps_token_id - 1
 
     @property
+    def prev_sot_token_id(self) -> int:
+        """`<|startofprev|>` — two below `<|notimestamps|>` in every
+        released vocab (50361; large-v3 50362). Prefixes the previous-text
+        context in conditioned decoding."""
+        return self.no_timestamps_token_id - 2
+
+    @property
     def num_audio_frames(self) -> int:
         """Mel frames fed to the encoder (30 s @ hop 160)."""
         return self.max_source_positions * 2

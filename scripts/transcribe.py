@@ -64,18 +64,32 @@ def parse_args(argv=None):
                    help="Chunked transcription (auto for clips > 30 s)")
     p.add_argument("--chunk_seconds", type=float, default=30.0)
     p.add_argument("--overlap_seconds", type=float, default=0.0)
+    p.add_argument("--condition_on_previous_text", action="store_true",
+                   help="Sequential long-form with <|startofprev|> context "
+                        "from previous windows (openai transcribe default "
+                        "behavior; slower than the batched windows)")
+    p.add_argument("--initial_prompt", type=str, default=None,
+                   help="Free text fed as decoder context for the first "
+                        "window (names, vocabulary, style)")
     p.add_argument("--streaming", action="store_true",
                    help="Feed the file as a live stream; print committed "
                         "text incrementally")
     p.add_argument("--stream_chunk_seconds", type=float, default=1.0)
     p.add_argument("--output", type=str, default=None,
                    help="Write {file: transcript} JSON here")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="Force a JAX backend (default: environment's)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from sar_tpu.data.preprocessing import load_audio
     from sar_tpu.data.tokenizer import get_tokenizer
@@ -116,7 +130,15 @@ def main(argv=None):
             language = WHISPER_LANGUAGES[int(idx[0])]
             logger.info("detected language: %s (p=%.2f)", language,
                         float(probs[0, int(idx[0])]))
-        long = args.longform or seconds > mel_ops.CHUNK_SECONDS
+        conditioned = (args.condition_on_previous_text
+                       or args.initial_prompt is not None)
+        # Conditioning rides the long-form engine (a short clip is just a
+        # single window there).
+        long = (args.longform or seconds > mel_ops.CHUNK_SECONDS
+                or (conditioned and not args.streaming))
+        if conditioned and args.streaming:
+            logger.warning("--condition_on_previous_text/--initial_prompt "
+                           "do not apply to streaming; ignored")
         # Conflict warnings mirror the dispatch below exactly: each names
         # the flag that actually gets dropped on this path.
         if args.streaming:
@@ -183,7 +205,10 @@ def main(argv=None):
                                   fallback=args.fallback,
                                   word_timestamps=(args.word_timestamps
                                                    and not args.timestamps),
-                                  timestamps=args.timestamps)
+                                  timestamps=args.timestamps,
+                                  condition_on_previous_text=(
+                                      args.condition_on_previous_text),
+                                  initial_prompt=args.initial_prompt)
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 print(text)

@@ -73,3 +73,73 @@ def test_transcribe_long_segment_timestamps(rng):
         transcribe_long(audio, cfg, params, CharTokenizer(cfg),
                         chunk_seconds=0.6, timestamps=True,
                         word_timestamps=True)
+
+
+def _world():
+    import jax
+
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, CharTokenizer(cfg)
+
+
+def test_conditioned_longform_runs_and_builds_context(rng, monkeypatch):
+    """Sequential conditioned loop: the second window's prompt carries
+    <|startofprev|> + the first window's ids (captured via the transcriber
+    call); initial_prompt conditions the first window."""
+    from sar_tpu.evaluation import fallback as fb
+    cfg, params, tok = _world()
+    audio = (rng.standard_normal(int(1.2 * 16000)) * 0.1).astype(np.float32)
+
+    seen = []
+    orig = fb.FallbackTranscriber.__call__
+
+    def spy(self, mel, n_valid=None, prompt=None, prompt_len=None):
+        seen.append((None if prompt is None else np.asarray(prompt).copy(),
+                     prompt_len))
+        return orig(self, mel, n_valid=n_valid, prompt=prompt,
+                    prompt_len=prompt_len)
+
+    monkeypatch.setattr(fb.FallbackTranscriber, "__call__", spy)
+    text = transcribe_long(audio, cfg, params, tok, language="english",
+                           max_new_tokens=6, chunk_seconds=0.6,
+                           condition_on_previous_text=True)
+    assert isinstance(text, str)
+    assert len(seen) >= 2
+    P_std = len(cfg.prompt_ids("english"))
+    _, first_plen = seen[0]
+    second_prompt, second_plen = seen[1]
+    assert first_plen == P_std                 # no context yet
+    # window 2 carries context iff window 1 produced any ids
+    if second_plen > P_std:
+        assert second_prompt[0, 0] == cfg.prev_sot_token_id
+        # the std prompt closes the prefix
+        assert list(second_prompt[0, second_plen - P_std:second_plen]) \
+            == cfg.prompt_ids("english")
+
+
+def test_conditioned_longform_initial_prompt_first_window(rng):
+    from sar_tpu.evaluation import fallback as fb
+    cfg, params, tok = _world()
+    audio = (rng.standard_normal(int(0.5 * 16000)) * 0.1).astype(np.float32)
+    seen = []
+    orig = fb.FallbackTranscriber.__call__
+
+    def spy(self, mel, n_valid=None, prompt=None, prompt_len=None):
+        seen.append(prompt_len)
+        return orig(self, mel, n_valid=n_valid, prompt=prompt,
+                    prompt_len=prompt_len)
+
+    fb.FallbackTranscriber.__call__ = spy
+    try:
+        text = transcribe_long(audio, cfg, params, tok, language="english",
+                               max_new_tokens=6, chunk_seconds=0.6,
+                               initial_prompt="hello world")
+    finally:
+        fb.FallbackTranscriber.__call__ = orig
+    assert isinstance(text, str)
+    P_std = len(cfg.prompt_ids("english"))
+    assert seen[0] > P_std       # first window prompt includes the context
