@@ -38,7 +38,8 @@ class ASREvaluator:
                  num_beams: int = 1, lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
                  flash: str | bool = "auto", scores_int8: bool = False,
-                 prompt_tokens=None, fallback: bool = False):
+                 prompt_tokens=None, fallback: bool = False,
+                 task: str = "transcribe"):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -94,9 +95,12 @@ class ASREvaluator:
                 self.lora = shard_lora(self.lora, mesh)
         # `prompt_tokens` overrides the standard Whisper decoder prompt —
         # e.g. [sot] alone for English-only / custom-vocab models.
+        # `task="translate"` swaps the task token: X -> English speech
+        # translation (Whisper's second task; the reference never exposes
+        # it — HF generate takes task= through get_decoder_prompt_ids).
         self._prompt = jnp.asarray(
             list(prompt_tokens) if prompt_tokens is not None
-            else cfg.prompt_ids(language), jnp.int32)
+            else cfg.prompt_ids(language, task), jnp.int32)
         self._build_steps()
 
     def _build_steps(self):
@@ -231,22 +235,25 @@ class ASREvaluator:
 def transcribe_audio(audio: np.ndarray, cfg: WhisperConfig, params: dict,
                      tokenizer, language: str = "hindi",
                      max_new_tokens: int = 256, lora: dict | None = None,
-                     lora_scale: float = 1.0) -> str:
+                     lora_scale: float = 1.0,
+                     task: str = "transcribe") -> str:
     """Single-utterance helper (parity with :172-220). `audio` is a float32
     waveform at 16 kHz."""
     return batch_transcribe([audio], cfg, params, tokenizer, language,
                             max_new_tokens=max_new_tokens, lora=lora,
-                            lora_scale=lora_scale)[0]
+                            lora_scale=lora_scale, task=task)[0]
 
 
 def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
                      params: dict, tokenizer, language: str = "hindi",
                      batch_size: int = 8, max_new_tokens: int = 256,
                      lora: dict | None = None,
-                     lora_scale: float = 1.0) -> list[str]:
+                     lora_scale: float = 1.0,
+                     task: str = "transcribe") -> list[str]:
     """Batched raw-audio transcription (parity with :223-292): pad/trim to the
-    30 s window, mel on device, compiled greedy decode."""
-    prompt = jnp.asarray(cfg.prompt_ids(language), jnp.int32)
+    30 s window, mel on device, compiled greedy decode. `task="translate"`
+    emits English for any source language."""
+    prompt = jnp.asarray(cfg.prompt_ids(language, task), jnp.int32)
 
     @jax.jit
     def run(params, audio):

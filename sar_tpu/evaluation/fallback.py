@@ -93,7 +93,8 @@ class FallbackTranscriber:
                  lora=None, lora_scale: float = 1.0,
                  kv_int8: bool = True, flash: str | bool = "auto",
                  seed: int = 0, prompt_tokens=None,
-                 timestamps: bool = False, prompt_width: int | None = None):
+                 timestamps: bool = False, prompt_width: int | None = None,
+                 task: str = "transcribe"):
         from functools import partial
 
         from sar_tpu.models import whisper
@@ -117,7 +118,7 @@ class FallbackTranscriber:
         self.timestamps = timestamps
         self._prompt = jnp.asarray(
             list(prompt_tokens) if prompt_tokens is not None
-            else cfg.prompt_ids(language, no_timestamps=not timestamps),
+            else cfg.prompt_ids(language, task, no_timestamps=not timestamps),
             jnp.int32)
         # prompt_width reserves buffer room for WIDER per-call prompts
         # (conditioned long-form prepends <|startofprev|> + context; the

@@ -71,7 +71,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     word_timestamps: bool = False,
                     timestamps: bool = False,
                     condition_on_previous_text: bool = False,
-                    initial_prompt: str | None = None):
+                    initial_prompt: str | None = None,
+                    task: str = "transcribe"):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -104,14 +105,14 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             logprob_threshold=logprob_threshold, timestamps=timestamps,
             word_timestamps=word_timestamps,
             condition=condition_on_previous_text,
-            initial_prompt=initial_prompt)
+            initial_prompt=initial_prompt, task=task)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
         texts = batch_transcribe(chunks, cfg, params, tokenizer,
                                  language=language, batch_size=batch_size,
                                  max_new_tokens=max_new_tokens, lora=lora,
-                                 lora_scale=lora_scale)
+                                 lora_scale=lora_scale, task=task)
         return " ".join(t.strip() for t in texts if t.strip())
 
     import jax.numpy as jnp
@@ -125,13 +126,13 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     transcriber = FallbackTranscriber(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
-        timestamps=timestamps,
+        timestamps=timestamps, task=task,
         **({"logprob_threshold": logprob_threshold,
             "no_speech_threshold": no_speech_threshold} if fallback
            else {"temperatures": (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))
-    prompt = cfg.prompt_ids(language, no_timestamps=not timestamps)
+    prompt = cfg.prompt_ids(language, task, no_timestamps=not timestamps)
     P = len(prompt)
     eos = cfg.eos_token_id
     texts: list[str] = []
@@ -210,7 +211,8 @@ def _encode_prompt_text(tokenizer, text: str, cfg) -> list[int]:
 def _transcribe_long_conditioned(
         pairs, cfg, params, tokenizer, *, language, max_new_tokens,
         lora, lora_scale, fallback, no_speech_threshold, logprob_threshold,
-        timestamps, word_timestamps, condition, initial_prompt):
+        timestamps, word_timestamps, condition, initial_prompt,
+        task="transcribe"):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -218,7 +220,7 @@ def _transcribe_long_conditioned(
     from sar_tpu.evaluation.fallback import (FallbackTranscriber,
                                              should_skip_silence)
 
-    std = cfg.prompt_ids(language, no_timestamps=not timestamps)
+    std = cfg.prompt_ids(language, task, no_timestamps=not timestamps)
     P_std = len(std)
     # Context budget: openai uses n_text_ctx//2 - 1 = 223; bounded by what
     # the target-position budget leaves after the prompt and new tokens.
@@ -228,7 +230,7 @@ def _transcribe_long_conditioned(
     transcriber = FallbackTranscriber(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
-        timestamps=timestamps, prompt_width=width,
+        timestamps=timestamps, prompt_width=width, task=task,
         **({"logprob_threshold": logprob_threshold,
             "no_speech_threshold": no_speech_threshold} if fallback
            else {"temperatures": (0.0,),

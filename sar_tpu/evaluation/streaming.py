@@ -56,12 +56,13 @@ class StreamingTranscriber:
     def __init__(self, cfg: WhisperConfig, params: dict, tokenizer,
                  language: str = "hindi", max_new_tokens: int = 224,
                  lora: dict | None = None, lora_scale: float = 1.0,
-                 kv_int8: bool = False, flash: str | bool = "auto"):
+                 kv_int8: bool = False, flash: str | bool = "auto",
+                 task: str = "transcribe"):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.window_samples = cfg.num_audio_frames * mel_ops.HOP_LENGTH
-        prompt = cfg.prompt_ids(language)
+        prompt = cfg.prompt_ids(language, task)
         self._p0 = len(prompt)
         self._total = min(self._p0 + max_new_tokens, cfg.max_target_positions)
         self._prompt = np.asarray(prompt, np.int32)

@@ -78,7 +78,10 @@ class WhisperConfig:
         return self.max_source_positions * 2
 
     def task_token_id(self, task: str) -> int:
-        return self.transcribe_token_id if task == "transcribe" else self.translate_token_id
+        if task not in ("transcribe", "translate"):
+            raise ValueError(f"unknown task {task!r} (transcribe|translate)")
+        return (self.transcribe_token_id if task == "transcribe"
+                else self.translate_token_id)
 
     def lang_token_id(self, language: str) -> int:
         code = LANGUAGE_CODES.get(language, language)

@@ -67,7 +67,8 @@ class TranscriptionService:
                  max_new_tokens: int = 256, num_beams: int = 1,
                  lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True,
-                 flash: str | bool = "auto", max_queue: int = 512):
+                 flash: str | bool = "auto", max_queue: int = 512,
+                 task: str = "transcribe"):
         if tokenizer is None or (router is None
                                  and (cfg is None or params is None)):
             raise ValueError("need cfg+params+tokenizer, or a "
@@ -75,6 +76,9 @@ class TranscriptionService:
         if router is not None and num_beams > 1:
             raise ValueError("routed serving decodes greedily "
                              "(no beam-routed program)")
+        if router is not None and task != "transcribe":
+            raise ValueError("routed serving is transcription-only (the "
+                             "router's adapters are transcription-trained)")
         self.num_beams = num_beams
         self.router = router
         if router is not None:
@@ -85,6 +89,7 @@ class TranscriptionService:
             self.params = params
         self.tokenizer = tokenizer
         self.language = language
+        self.task = task
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.max_new_tokens = max_new_tokens
@@ -108,7 +113,7 @@ class TranscriptionService:
 
     def _build(self):
         cfg = self.cfg
-        P = len(cfg.prompt_ids(self.language))
+        P = len(cfg.prompt_ids(self.language, self.task))
         total = min(P + self.max_new_tokens, cfg.max_target_positions)
         lora, scale, kv = self.lora, self.lora_scale, self.kv_int8
         flash = self.flash
@@ -289,9 +294,11 @@ class TranscriptionService:
                             for i in np.asarray(idx)[:n]]
             else:
                 prompts = jnp.asarray(
-                    [self.cfg.prompt_ids(r.language or self.language)
+                    [self.cfg.prompt_ids(r.language or self.language,
+                                         self.task)
                      for r in batch]
-                    + [self.cfg.prompt_ids(self.language)] * pad, jnp.int32)
+                    + [self.cfg.prompt_ids(self.language,
+                                           self.task)] * pad, jnp.int32)
                 if self.num_beams > 1:
                     tokens = self._beam(self.params, jnp.asarray(audio),
                                         prompts)

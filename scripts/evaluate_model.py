@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--task", type=str, default="transcribe",
+                   choices=["transcribe", "translate"],
+                   help="translate = X -> English speech translation; refs "
+                        "must be English translations for the WER to mean "
+                        "anything")
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
@@ -131,7 +136,7 @@ def main(argv=None):
                              lora_scale=lora_scale,
                              kv_int8=args.kv_cache == "int8", mesh=mesh,
                              scores_int8=args.attn_scores == "int8",
-                             fallback=args.fallback)
+                             fallback=args.fallback, task=args.task)
     need_preds = args.save_predictions or args.per_sample
     results = evaluator.evaluate(loader, return_predictions=need_preds)
 

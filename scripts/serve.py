@@ -54,6 +54,11 @@ def parse_args(argv=None):
     p.add_argument("--max_wait_ms", type=float, default=10.0)
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--task", type=str, default="transcribe",
+                   choices=["transcribe", "translate"],
+                   help="translate = X -> English speech translation "
+                        "(plain serving only; routed mode is "
+                        "transcription-only)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     return p.parse_args(argv)
@@ -115,7 +120,7 @@ def build_service(args):
         cfg, params, tokenizer, language=args.language, lora=lora,
         lora_scale=lora_scale, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
-        num_beams=args.num_beams)
+        num_beams=args.num_beams, task=args.task)
 
 
 class Handler(BaseHTTPRequestHandler):

@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", type=str, default=None,
                    help="LoRA adapter dir (train_lora.py output)")
     p.add_argument("--max_new_tokens", type=int, default=256)
+    p.add_argument("--task", type=str, default="transcribe",
+                   choices=["transcribe", "translate"],
+                   help="translate = X -> English speech translation "
+                        "(Whisper's second task token)")
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--timestamps", action="store_true",
                    help="Decode with Whisper's timestamp grammar (HF "
@@ -172,7 +176,8 @@ def main(argv=None):
             st = StreamingTranscriber(cfg, params, tokenizer,
                                       language=language,
                                       max_new_tokens=args.max_new_tokens,
-                                      lora=lora, lora_scale=lora_scale)
+                                      lora=lora, lora_scale=lora_scale,
+                                      task=args.task)
             step = int(args.stream_chunk_seconds * mel_ops.SAMPLE_RATE)
             shown = ""
 
@@ -208,7 +213,8 @@ def main(argv=None):
                                   timestamps=args.timestamps,
                                   condition_on_previous_text=(
                                       args.condition_on_previous_text),
-                                  initial_prompt=args.initial_prompt)
+                                  initial_prompt=args.initial_prompt,
+                                  task=args.task)
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 print(text)
@@ -238,7 +244,7 @@ def main(argv=None):
             # --timestamps drops <|notimestamps|> from the prompt and turns
             # on the timestamp grammar inside the compiled loop.
             prompt = jnp.asarray(
-                cfg.prompt_ids(language,
+                cfg.prompt_ids(language, args.task,
                                no_timestamps=not args.timestamps), jnp.int32)
             if args.num_beams > 1:
                 tokens = beam_decode(params, enc, cfg, prompt,
@@ -280,7 +286,7 @@ def main(argv=None):
             (text,), (row,) = transcribe_batch_with_fallback(
                 cfg, params, feats, tokenizer, language=language,
                 max_new_tokens=args.max_new_tokens,
-                lora=lora, lora_scale=lora_scale)
+                lora=lora, lora_scale=lora_scale, task=args.task)
             logger.info("accepted at T=%.1f (avg_logprob %.3f, "
                         "compression %.2f)", row["temperature"],
                         row["avg_logprob"], row["compression_ratio"])
@@ -290,7 +296,8 @@ def main(argv=None):
             text = transcribe_audio(audio, cfg, params, tokenizer,
                                     language=language,
                                     max_new_tokens=args.max_new_tokens,
-                                    lora=lora, lora_scale=lora_scale)
+                                    lora=lora, lora_scale=lora_scale,
+                                    task=args.task)
             print(text)
         dt = time.perf_counter() - t0
         logger.info("%s: %.1f s audio in %.2f s (%.1fx real-time)",

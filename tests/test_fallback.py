@@ -216,3 +216,37 @@ def test_needs_retry_silence_override():
                            no_speech_threshold=0.6)
     assert needs_retry(loop, -5.0, no_speech_prob=0.3,
                        no_speech_threshold=0.6)
+
+
+def test_task_threading_prompt_ids():
+    """task="translate" swaps exactly the task token in every prompt
+    builder; unknown tasks are rejected."""
+    import pytest
+
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    tr = cfg.prompt_ids("german")
+    xl = cfg.prompt_ids("german", "translate")
+    assert len(tr) == len(xl)
+    assert [a for a, b in zip(tr, xl) if a != b] == [cfg.transcribe_token_id]
+    assert xl[2] == cfg.translate_token_id
+    with pytest.raises(ValueError):
+        cfg.prompt_ids("german", "interpret")
+
+
+def test_translate_task_decodes(rng):
+    """batch_transcribe(task=translate) runs the compiled pipeline with the
+    translate prompt (random weights; exercises the plumbing)."""
+    import jax
+
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.evaluation.evaluator import batch_transcribe
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    audio = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    texts = batch_transcribe([audio], cfg, params, CharTokenizer(cfg),
+                             language="german", max_new_tokens=6,
+                             task="translate")
+    assert len(texts) == 1 and isinstance(texts[0], str)

@@ -283,3 +283,9 @@ def test_submit_validation_protects_batch(world):
             svc.submit(too_long)
     finally:
         svc.close(drain=False)
+
+
+def test_service_task_validation():
+    with pytest.raises(ValueError):
+        TranscriptionService(router=object(), tokenizer=_Tok(),
+                             task="translate")

@@ -139,3 +139,14 @@ def test_transcribe_language_auto(wav, caplog):
                                    "--max_new_tokens", "6"])
     assert isinstance(results[wav], str)
     assert any("detected language" in r.message for r in caplog.records)
+
+
+def test_transcribe_translate_task(wav):
+    """--task translate swaps the task token; the machinery is identical
+    (random weights — output text is meaningless on both tasks)."""
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "german",
+                               "--max_new_tokens", "8",
+                               "--task", "translate"])
+    assert isinstance(results[wav], str)
