@@ -94,7 +94,7 @@ class FallbackTranscriber:
                  kv_int8: bool = True, flash: str | bool = "auto",
                  seed: int = 0, prompt_tokens=None,
                  timestamps: bool = False, prompt_width: int | None = None,
-                 task: str = "transcribe"):
+                 task: str = "transcribe", best_of: int = 1):
         from functools import partial
 
         from sar_tpu.models import whisper
@@ -104,6 +104,15 @@ class FallbackTranscriber:
         self.tokenizer = tokenizer
         self.temperatures = tuple(temperatures)
         self.max_new_tokens = max_new_tokens
+        # openai's best_of (decoding.py): at T > 0, sample `best_of`
+        # candidates per row and keep the one with the highest avg logprob
+        # (MaximumLikelihoodRanker, length_penalty=None). Greedy (T=0)
+        # passes always decode once. Candidates run as extra passes of the
+        # SAME compiled decode program with fresh rng folds — no tiled
+        # cache, so HBM stays at the single-batch footprint. openai
+        # defaults best_of=5; here 1 (each candidate costs a full decode
+        # pass — opt in where the escalation rate warrants it).
+        self.best_of = max(1, int(best_of))
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
@@ -179,16 +188,35 @@ class FallbackTranscriber:
 
         enc_out = self._enc(self.params, mel)
         for t_idx, temperature in enumerate(self.temperatures):
-            cache = self._mkcache(self.params, enc_out)
-            rng = jax.random.fold_in(call_key, t_idx)
-            tokens, sum_lp, n_sc, ns_prob, spent = self._dec(
-                self.params, cache, prompt, jnp.int32(P), rng,
-                jnp.float32(temperature))
-            del spent
-            ids = transcribe_tokens(tokens, cfg, prompt_len=P)
-            sum_lp = np.asarray(sum_lp)
-            n_sc = np.asarray(n_sc)
-            ns_prob = np.asarray(ns_prob)
+            # best_of candidates per sampled pass (T=0 is deterministic —
+            # always one), each a fresh pass of the same compiled program;
+            # per-row winner by avg logprob (openai MaximumLikelihoodRanker
+            # with length_penalty=None).
+            n_cand = 1 if temperature == 0.0 else self.best_of
+            base_rng = jax.random.fold_in(call_key, t_idx)
+            ids = sum_lp = n_sc = ns_prob = None
+            for c in range(n_cand):
+                cache = self._mkcache(self.params, enc_out)
+                rng = base_rng if c == 0 else jax.random.fold_in(base_rng, c)
+                tokens, c_slp, c_nsc, c_nsp, spent = self._dec(
+                    self.params, cache, prompt, jnp.int32(P), rng,
+                    jnp.float32(temperature))
+                del spent
+                c_ids = transcribe_tokens(tokens, cfg, prompt_len=P)
+                c_slp = np.asarray(c_slp)
+                c_nsc = np.asarray(c_nsc)
+                c_nsp = np.asarray(c_nsp)
+                if ids is None:
+                    ids = list(c_ids)
+                    sum_lp, n_sc, ns_prob = (c_slp.copy(), c_nsc.copy(),
+                                             c_nsp.copy())
+                else:
+                    better = (c_slp / np.maximum(c_nsc, 1)
+                              > sum_lp / np.maximum(n_sc, 1))
+                    for b in np.flatnonzero(better):
+                        ids[b] = c_ids[b]
+                        sum_lp[b], n_sc[b] = c_slp[b], c_nsc[b]
+                        ns_prob[b] = c_nsp[b]
             still = []
             for b in pending:
                 # The loop decodes to the buffer end; when the actual

@@ -72,7 +72,7 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     timestamps: bool = False,
                     condition_on_previous_text: bool = False,
                     initial_prompt: str | None = None,
-                    task: str = "transcribe"):
+                    task: str = "transcribe", best_of: int = 1):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -105,7 +105,7 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             logprob_threshold=logprob_threshold, timestamps=timestamps,
             word_timestamps=word_timestamps,
             condition=condition_on_previous_text,
-            initial_prompt=initial_prompt, task=task)
+            initial_prompt=initial_prompt, task=task, best_of=best_of)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
@@ -126,7 +126,7 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     transcriber = FallbackTranscriber(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
-        timestamps=timestamps, task=task,
+        timestamps=timestamps, task=task, best_of=best_of,
         **({"logprob_threshold": logprob_threshold,
             "no_speech_threshold": no_speech_threshold} if fallback
            else {"temperatures": (0.0,),
@@ -212,7 +212,7 @@ def _transcribe_long_conditioned(
         pairs, cfg, params, tokenizer, *, language, max_new_tokens,
         lora, lora_scale, fallback, no_speech_threshold, logprob_threshold,
         timestamps, word_timestamps, condition, initial_prompt,
-        task="transcribe"):
+        task="transcribe", best_of=1):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -231,6 +231,7 @@ def _transcribe_long_conditioned(
         cfg, params, tokenizer, language=language,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
         timestamps=timestamps, prompt_width=width, task=task,
+        best_of=best_of,
         **({"logprob_threshold": logprob_threshold,
             "no_speech_threshold": no_speech_threshold} if fallback
            else {"temperatures": (0.0,),

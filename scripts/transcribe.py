@@ -64,6 +64,11 @@ def parse_args(argv=None):
                         "resample at rising temperatures while the result "
                         "is degenerate (compression ratio > 2.4 or avg "
                         "logprob < -1.0)")
+    p.add_argument("--best_of", type=int, default=1,
+                   help="Sampled candidates per fallback pass at T > 0; "
+                        "the best avg-logprob candidate wins per row "
+                        "(openai's best_of; its default is 5 — each "
+                        "candidate costs one full decode pass)")
     p.add_argument("--longform", action="store_true",
                    help="Chunked transcription (auto for clips > 30 s)")
     p.add_argument("--chunk_seconds", type=float, default=30.0)
@@ -214,7 +219,7 @@ def main(argv=None):
                                   condition_on_previous_text=(
                                       args.condition_on_previous_text),
                                   initial_prompt=args.initial_prompt,
-                                  task=args.task)
+                                  task=args.task, best_of=args.best_of)
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 print(text)
@@ -286,7 +291,8 @@ def main(argv=None):
             (text,), (row,) = transcribe_batch_with_fallback(
                 cfg, params, feats, tokenizer, language=language,
                 max_new_tokens=args.max_new_tokens,
-                lora=lora, lora_scale=lora_scale, task=args.task)
+                lora=lora, lora_scale=lora_scale, task=args.task,
+                best_of=args.best_of)
             logger.info("accepted at T=%.1f (avg_logprob %.3f, "
                         "compression %.2f)", row["temperature"],
                         row["avg_logprob"], row["compression_ratio"])

@@ -250,3 +250,35 @@ def test_translate_task_decodes(rng):
                              language="german", max_new_tokens=6,
                              task="translate")
     assert len(texts) == 1 and isinstance(texts[0], str)
+
+
+def test_best_of_picks_highest_avg_logprob(setup):
+    """best_of=3 at T>0: the accepted row must score >= a single-candidate
+    run's row (the winner is the per-row argmax over candidates, and
+    candidate 0's rng matches the best_of=1 run)."""
+    cfg, params, mel, _ = setup
+    kw = dict(language="english", max_new_tokens=6,
+              temperatures=(0.7,),           # sampled pass only
+              logprob_threshold=None, compression_ratio_threshold=None,
+              flash=False, seed=11)
+    _, one = transcribe_batch_with_fallback(cfg, params, mel, _Tok(),
+                                            best_of=1, **kw)
+    _, three = transcribe_batch_with_fallback(cfg, params, mel, _Tok(),
+                                              best_of=3, **kw)
+    for a, b in zip(three, one):
+        assert a["avg_logprob"] >= b["avg_logprob"] - 1e-6
+
+
+def test_best_of_ignored_at_temperature_zero(setup):
+    """T=0 passes decode once regardless of best_of (greedy is
+    deterministic) — results identical to best_of=1."""
+    cfg, params, mel, _ = setup
+    kw = dict(language="english", max_new_tokens=6, temperatures=(0.0,),
+              logprob_threshold=None, compression_ratio_threshold=None,
+              flash=False)
+    t1, i1 = transcribe_batch_with_fallback(cfg, params, mel, _Tok(),
+                                            best_of=1, **kw)
+    t5, i5 = transcribe_batch_with_fallback(cfg, params, mel, _Tok(),
+                                            best_of=5, **kw)
+    assert t1 == t5
+    assert [r["avg_logprob"] for r in i1] == [r["avg_logprob"] for r in i5]
