@@ -72,7 +72,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     timestamps: bool = False,
                     condition_on_previous_text: bool = False,
                     initial_prompt: str | None = None,
-                    task: str = "transcribe", best_of: int = 1):
+                    task: str = "transcribe", best_of: int = 1,
+                    timestamp_seek: bool = True):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -93,19 +94,29 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     windows' text (reset after any window accepted at temperature > 0.5,
     openai's prompt-reset rule), trading the batched windows' throughput
     for cross-window consistency. The context length rides as a TRACED
-    prompt_len, so every window reuses one compiled decode program."""
+    prompt_len, so every window reuses one compiled decode program.
+
+    With `timestamps=True` the conditioned loop also SEEKS by predicted
+    timestamps (openai's window-advance rule): when a window's output ends
+    with a closed segment, only the audio up to that segment's end is
+    consumed; a trailing OPEN segment after closed ones is dropped and its
+    audio re-decoded in the next window. `timestamp_seek=False` restores
+    fixed strides. openai's full transcribe loop is therefore
+    `condition_on_previous_text=True, timestamps=True, fallback=True`."""
     if timestamps and word_timestamps:
         raise ValueError("pick timestamps (segments) OR word_timestamps")
-    pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     if condition_on_previous_text or initial_prompt is not None:
         return _transcribe_long_conditioned(
-            pairs, cfg, params, tokenizer, language=language,
+            audio, cfg, params, tokenizer, language=language,
             max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
             fallback=fallback, no_speech_threshold=no_speech_threshold,
             logprob_threshold=logprob_threshold, timestamps=timestamps,
             word_timestamps=word_timestamps,
             condition=condition_on_previous_text,
-            initial_prompt=initial_prompt, task=task, best_of=best_of)
+            initial_prompt=initial_prompt, task=task, best_of=best_of,
+            chunk_seconds=chunk_seconds, overlap_seconds=overlap_seconds,
+            timestamp_seek=timestamp_seek)
+    pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
@@ -209,10 +220,11 @@ def _encode_prompt_text(tokenizer, text: str, cfg) -> list[int]:
 
 
 def _transcribe_long_conditioned(
-        pairs, cfg, params, tokenizer, *, language, max_new_tokens,
+        audio, cfg, params, tokenizer, *, language, max_new_tokens,
         lora, lora_scale, fallback, no_speech_threshold, logprob_threshold,
         timestamps, word_timestamps, condition, initial_prompt,
-        task="transcribe", best_of=1):
+        task="transcribe", best_of=1, chunk_seconds=30.0,
+        overlap_seconds=0.0, timestamp_seek=True):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -245,7 +257,19 @@ def _transcribe_long_conditioned(
     texts: list[str] = []
     words: list[dict] = []
     segments: list[tuple] = []
-    for chunk, off in pairs:
+    sr = mel_ops.SAMPLE_RATE
+    win = int(chunk_seconds * sr)
+    hop = win - int(overlap_seconds * sr)       # fixed-stride fallback
+    if hop <= 0:
+        raise ValueError("overlap must be smaller than the chunk size")
+    seek_by_ts = timestamps and timestamp_seek
+    audio = np.asarray(audio, np.float32)
+    seek = 0
+    while seek < len(audio):
+        chunk = audio[seek:seek + win]
+        if seek and len(chunk) < int(0.2 * sr):
+            break                               # sub-200ms tail (chunker rule)
+        off = seek / sr
         padded = mel_ops.stack_pad_audio([chunk])
         feats = mel_ops.log_mel_spectrogram(
             jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
@@ -261,11 +285,31 @@ def _transcribe_long_conditioned(
         skipped = fallback and should_skip_silence(
             row, no_speech_threshold=no_speech_threshold,
             logprob_threshold=logprob_threshold)
+        advance = min(hop, max(len(chunk), 1))
+        kept_ids = row["ids"]
+        if timestamps and not skipped:
+            from sar_tpu.decode.timestamps import split_segments
+            splits = list(split_segments(row["ids"], cfg))
+            # openai's window-advance rule: a trailing OPEN segment after
+            # closed ones is dropped (its audio re-decodes next window);
+            # the window is consumed up to the last CLOSED segment's end.
+            # A lone open segment (no closed ones) keeps the whole window.
+            if (seek_by_ts and len(splits) > 1 and splits[-1][1] is None
+                    and any(t1 is not None for _, t1, _ in splits[:-1])):
+                splits = splits[:-1]
+                kept_ids = [t for _, _, toks in splits for t in toks]
+                text = tokenizer.decode(kept_ids)
+            if seek_by_ts and splits and splits[-1][1] is not None:
+                # Floor of 1 s guards against pathological near-zero
+                # timestamps stalling the loop (openai has no such guard;
+                # real models always progress).
+                adv_s = splits[-1][1]
+                if adv_s >= 1.0:
+                    advance = min(int(adv_s * sr), max(len(chunk), 1))
         if not skipped:
             texts.append(text)
             if timestamps:
-                from sar_tpu.decode.timestamps import split_segments
-                for t0, t1, toks in split_segments(row["ids"], cfg):
+                for t0, t1, toks in splits:
                     seg_text = tokenizer.decode(toks).strip()
                     if seg_text:
                         segments.append((
@@ -295,13 +339,14 @@ def _transcribe_long_conditioned(
             if row["temperature"] > 0.5:
                 ctx = []
             elif not skipped:
-                new = row["ids"]
+                new = kept_ids
                 if timestamps:
                     new = [t for t in new if t < ts_begin]
                 ctx.extend(int(t) for t in new)
                 ctx = ctx[-C:] if C else []
         else:
             ctx = []        # initial_prompt conditions the FIRST window only
+        seek += max(int(advance), 1)
     text = " ".join(t.strip() for t in texts if t.strip())
     if word_timestamps:
         return text, words

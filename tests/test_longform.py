@@ -143,3 +143,103 @@ def test_conditioned_longform_initial_prompt_first_window(rng):
     assert isinstance(text, str)
     P_std = len(cfg.prompt_ids("english"))
     assert seen[0] > P_std       # first window prompt includes the context
+
+
+class _FakeTranscriber:
+    """Scripted FallbackTranscriber stand-in: returns canned rows per
+    window and records the prompts it was called with."""
+
+    script: list = []
+    calls: list = []
+
+    def __init__(self, cfg, params, tokenizer, **kw):
+        self.cfg = cfg
+
+    def __call__(self, mel, n_valid=None, prompt=None, prompt_len=None):
+        _FakeTranscriber.calls.append(
+            (None if prompt is None else np.asarray(prompt).copy(),
+             prompt_len))
+        i = min(len(_FakeTranscriber.calls) - 1,
+                len(_FakeTranscriber.script) - 1)
+        text, ids = _FakeTranscriber.script[i]
+        row = {"temperature": 0.0, "avg_logprob": -0.1,
+               "no_speech_prob": 0.0, "compression_ratio": 1.0,
+               "ids": list(ids)}
+        return [text], [row]
+
+
+class _LetterTok:
+    """whisper-test's timestamp ids overlap CharTokenizer's byte range;
+    this maps every id to a letter so segment text is observable."""
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + int(i) % 26) for i in ids)
+
+
+def test_timestamp_seek_advances_by_closed_segment(monkeypatch):
+    """openai's window-advance rule: the window is consumed up to the last
+    CLOSED segment's end; a trailing open segment after closed ones is
+    dropped (and excluded from text/context); windows without timestamps
+    consume the whole window."""
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    tok = _LetterTok()
+    ts = lambda s: cfg.no_timestamps_token_id + 1 + round(s / 0.02)  # noqa
+    a, b, c, d, e, f = 60, 61, 62, 63, 64, 65   # text ids (< ts_begin)
+    _FakeTranscriber.script = [
+        # closed [0,2] over [a,b] + OPEN tail [c,d] -> tail dropped, seek 2s
+        ("raw0", [ts(0.0), a, b, ts(2.0), ts(2.0), c, d]),
+        # closed [0,1] over [e] -> seek 1s further
+        ("raw1", [ts(0.0), e, ts(1.0)]),
+        # no timestamps at all -> whole window consumed
+        ("raw2", [f]),
+    ]
+    _FakeTranscriber.calls = []
+    import sar_tpu.evaluation.fallback as fb
+    monkeypatch.setattr(fb, "FallbackTranscriber", _FakeTranscriber)
+
+    audio = np.zeros(5 * 16000, np.float32)
+    text, segments = transcribe_long(
+        audio, cfg, None, tok, language="english", chunk_seconds=3.0,
+        max_new_tokens=8, condition_on_previous_text=True, timestamps=True)
+    assert len(_FakeTranscriber.calls) == 3
+    # Global segment times prove the seek: window 1 started at 2.0 s (the
+    # closed end), NOT 3.0 s (the fixed stride).
+    assert segments[0][:2] == (0.0, 2.0)
+    assert segments[1][:2] == (2.0, 3.0)
+    assert segments[2][:2] == (None, None)
+    assert segments[2][2] == tok.decode([f]).strip()
+    # The dropped open tail [c, d] is not in the text output...
+    assert tok.decode([c]) not in text
+    # ...and not in window 1's conditioning context (a, b are).
+    prompt1, plen1 = _FakeTranscriber.calls[1]
+    ctx_ids = list(prompt1[0, :plen1])
+    assert a in ctx_ids and b in ctx_ids
+    assert c not in ctx_ids and d not in ctx_ids
+
+
+def test_timestamp_seek_floor_and_optout(monkeypatch):
+    """Near-zero closed ends (< 1 s) keep the fixed stride (stall guard);
+    timestamp_seek=False restores fixed strides entirely."""
+    import sar_tpu.evaluation.fallback as fb
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    tok = _LetterTok()
+    ts = lambda s: cfg.no_timestamps_token_id + 1 + round(s / 0.02)  # noqa
+    _FakeTranscriber.script = [("t", [ts(0.0), 60, ts(0.5)])]
+    _FakeTranscriber.calls = []
+    monkeypatch.setattr(fb, "FallbackTranscriber", _FakeTranscriber)
+    audio = np.zeros(4 * 16000, np.float32)
+    transcribe_long(audio, cfg, None, tok, language="english",
+                    chunk_seconds=2.0, max_new_tokens=8,
+                    condition_on_previous_text=True, timestamps=True)
+    assert len(_FakeTranscriber.calls) == 2        # 2 fixed 2 s windows
+
+    _FakeTranscriber.script = [("t", [ts(0.0), 60, ts(1.5), ts(1.5), 61,
+                                      ts(2.0)])]
+    _FakeTranscriber.calls = []
+    transcribe_long(audio, cfg, None, tok, language="english",
+                    chunk_seconds=2.0, max_new_tokens=8,
+                    condition_on_previous_text=True, timestamps=True,
+                    timestamp_seek=False)
+    assert len(_FakeTranscriber.calls) == 2        # opt-out: fixed strides
