@@ -66,7 +66,8 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 begin_suppress_ids: tuple[int, ...] = (),
                 segment: int = 32,
                 timestamps: bool = False,
-                max_initial_timestamp_index: int | None = 1) -> jnp.ndarray:
+                max_initial_timestamp_index: int | None = 1,
+                head_minor: bool | None = None) -> jnp.ndarray:
     """Beam search. prompt_ids: [P] or [B, P]. Returns best beam [B, total];
     positions after the first EOS are EOS-filled.
 
@@ -95,15 +96,18 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     # per row instead of K x the cross reads. Only the self cache and the
     # adapter indices are beam-expanded to [B*K, ...].
     idx_k = None if adapter_idx is None else jnp.repeat(adapter_idx, K, axis=0)
-    # Always the classic cache layout: the fused head-minor kernel serves
-    # only beam_width == 1, and the head-minor jnp fallback pays a per-step
-    # slab transpose (DecodeCache docstring) — scores_int8 under beams uses
-    # the classic-layout s8 einsum path instead.
+    # Head-minor cross slabs on TPU when scores_int8: the fused s8-MXU
+    # kernel folds the K beam queries into extra block-diagonal rows and
+    # streams each sample's slab once (ops/decode_cross.py). Off-TPU the
+    # head-minor jnp twin pays a per-step slab transpose, so the classic
+    # layout (s8 einsum) stays the CPU/test path.
+    if head_minor is None:
+        head_minor = scores_int8 and jax.default_backend() == "tpu"
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
-                               self_batch=B * K)
+                               self_batch=B * K, head_minor=head_minor)
     # The (large, loop-invariant) cross K/V are closed over; only the
     # mutable self buffers ride the while carry (segment-sized when
     # `segment` > 0).

@@ -52,11 +52,13 @@ class ASREvaluator:
         if scores_int8 and not kv_int8:
             raise ValueError("scores_int8 requires kv_int8=True")
         if scores_int8 and num_beams > 1:
-            # The fused s8 kernel is greedy-only; threading scores_int8 into
-            # beam_decode selects the classic-layout s8 einsum, which XLA
-            # cannot map to the MXU (~11.6 ms/token — slower than bf16).
-            # Fall back loudly instead of silently picking the slow path.
-            logger.warning("scores_int8 has no beam-folded kernel; beams "
+            # A beam-folded s8 kernel exists (ops/decode_cross.py
+            # beam_width=K, interpret-parity tested) but has not been
+            # compile-validated on real TPU hardware yet; until it is, the
+            # guard keeps beams off the classic-layout s8 einsum XLA cannot
+            # map to the MXU (~11.6 ms/token — slower than bf16).
+            logger.warning("scores_int8 under beams awaits hardware "
+                           "validation of the beam-folded kernel; beams "
                            "decode with bf16 attention scores (int8 KV "
                            "cache stays on)")
             scores_int8 = False

@@ -881,20 +881,34 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             qh = (qh[:, :, 0].reshape(B // beam_width, beam_width, H, hd)
                   .transpose(0, 2, 1, 3))               # [B/K, H, K, hd]
         head_minor = cache.cross_k.ndim == 4
-        if (head_minor and scores_int8 and beam_width == 1
+        if (head_minor and scores_int8
                 and jax.default_backend() == "tpu"):
             # Fused s8-MXU kernel: both contractions stay int8 on the MXU
             # and the slabs are never dequantized (ops/decode_cross.py). The
             # FULL stacked cache is the operand; `layer` is a static
             # BlockSpec offset (slicing here would copy the slab per step).
+            # Beams ride as K extra query rows of the same two MXU dots
+            # ([K*H, D] block-diagonal), streaming each sample's slab once.
             from sar_tpu.ops.decode_cross import cross_decode_attention
             qq, qs = quantize_kv(qh)
-            o = cross_decode_attention(
-                qq[:, :, 0].reshape(B, -1), qs,
-                cache.cross_k, cache.cross_k_scale,
-                cache.cross_v, cache.cross_v_scale,
-                layer=l, n_heads=H, out_dtype=dtype)
-            a_merged = o[:, None, :]                    # [B, 1, d_model]
+            if beam_width > 1:
+                K = beam_width
+                Bs = B // K
+                Dm = H * qh.shape[-1]
+                o = cross_decode_attention(
+                    qq.transpose(0, 2, 1, 3).reshape(Bs, K, Dm),
+                    qs.transpose(0, 2, 1).reshape(Bs, K * H, 1),
+                    cache.cross_k, cache.cross_k_scale,
+                    cache.cross_v, cache.cross_v_scale,
+                    layer=l, n_heads=H, out_dtype=dtype, beam_width=K)
+                a_merged = o.reshape(B, 1, Dm)          # [B, 1, d_model]
+            else:
+                o = cross_decode_attention(
+                    qq[:, :, 0].reshape(B, -1), qs,
+                    cache.cross_k, cache.cross_k_scale,
+                    cache.cross_v, cache.cross_v_scale,
+                    layer=l, n_heads=H, out_dtype=dtype)
+                a_merged = o[:, None, :]                # [B, 1, d_model]
         else:
             if head_minor:
                 # jnp twin of the kernel's math (CPU/tests; XLA pays a

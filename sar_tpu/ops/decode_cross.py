@@ -44,55 +44,65 @@ NEG = -1e30  # python float: jnp scalars would be captured consts in Pallas
 
 
 def _kernel(qq_ref, qs_ref, kq_ref, ks_ref, vq_ref, vs_ref, o_ref,
-            *, n_heads: int, head_dim: int):
-    H, hd = n_heads, head_dim
+            *, n_heads: int, head_dim: int, beam_width: int):
+    H, hd, K = n_heads, head_dim, beam_width
     D = H * hd
     S = kq_ref.shape[-2]
 
-    # Block-diagonal query rows: Qrows[h, 64h:64h+64] = q_h (s8). The
-    # select runs in f32 (i1 masks carry the (8,128) tile; selecting s8
+    # Block-diagonal query rows: Qrows[k*H + h, 64h:64h+64] = q_{k,h} (s8) —
+    # the K beam queries of a sample share its K/V slab, so they ride as
+    # extra rows of the SAME two MXU contractions (K=1 is the greedy case).
+    # The select runs in f32 (i1 masks carry the (8,128) tile; selecting s8
     # directly would need an unsupported (32,128) mask relayout) and the
     # integer-valued result is then cast to s8.
-    col_head = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // hd
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
-    qrows = jnp.where(col_head == row,
-                      jnp.broadcast_to(qq_ref[0].astype(jnp.float32), (H, D)),
-                      0.0).astype(jnp.int8)
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (K * H, D), 1) // hd
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (K * H, D), 0) % H
+    q = qq_ref[0].astype(jnp.float32)                   # [K, D]
+    q = jnp.broadcast_to(q[:, None, :], (K, H, D)).reshape(K * H, D)
+    qrows = jnp.where(col_head == row_head, q, 0.0).astype(jnp.int8)
 
-    # scores^T [H, S]: lane-contraction on both operands (A @ B^T), s8 MXU.
+    # scores^T [K*H, S]: lane-contraction on both operands (A @ B^T), s8 MXU.
     st = jax.lax.dot_general(qrows, kq_ref[0, 0], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.int32)
-    ks = ks_ref[0, 0]
-    st = st.astype(jnp.float32) * qs_ref[0] * ks
+    ks = ks_ref[0, 0]                                   # [H, S]
+    ks_t = (jnp.broadcast_to(ks[None], (K, H, S)).reshape(K * H, S)
+            if K > 1 else ks)
+    st = st.astype(jnp.float32) * qs_ref[0] * ks_t
     # Layout padding carries key scale 0 (real scales are strictly
     # positive) — masking on the scales stays correct for any true S.
-    st = jnp.where(ks > 0, st, NEG)
+    st = jnp.where(ks_t > 0, st, NEG)
 
     m = jnp.max(st, axis=1, keepdims=True)
     p = jnp.exp(st - m)
-    pw = (p / jnp.sum(p, axis=1, keepdims=True)) * vs_ref[0, 0]
+    vs = vs_ref[0, 0]
+    vs_t = (jnp.broadcast_to(vs[None], (K, H, S)).reshape(K * H, S)
+            if K > 1 else vs)
+    pw = (p / jnp.sum(p, axis=1, keepdims=True)) * vs_t
 
-    # Re-quantize the weighted probs per head and run P @ V on the s8 MXU.
+    # Re-quantize the weighted probs per row and run P @ V on the s8 MXU.
     ps = jnp.maximum(jnp.max(jnp.abs(pw), axis=1, keepdims=True), 1e-8) / 127.0
     pq = jnp.clip(jnp.round(pw / ps), -127, 127).astype(jnp.int8)
     o = jax.lax.dot_general(pq, vq_ref[0, 0], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
-    o = o.astype(jnp.float32) * ps                      # [H, D]
+    o = o.astype(jnp.float32) * ps                      # [K*H, D]
 
-    # Keep each head's own [hd] block (col_head == row), fold to one row.
-    o = jnp.where(col_head == row, o, 0.0)
-    o_ref[0] = jnp.sum(o, axis=0, keepdims=True).astype(o_ref.dtype)
+    # Keep each row's own head block (col_head == row_head), fold the H
+    # rows of each beam to one [D] row.
+    o = jnp.where(col_head == row_head, o, 0.0)
+    o = o.reshape(K, H, D)
+    o_ref[0] = jnp.sum(o, axis=1).astype(o_ref.dtype)   # [K, D]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("layer", "n_heads", "out_dtype",
-                                    "interpret"))
+                                    "interpret", "beam_width"))
 def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
                            kq: jnp.ndarray, ks: jnp.ndarray,
                            vq: jnp.ndarray, vs: jnp.ndarray,
                            *, layer: int, n_heads: int,
                            out_dtype=jnp.bfloat16,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           beam_width: int = 1) -> jnp.ndarray:
     """One decode step of cross-attention for a whole batch.
 
     qq [B, D] s8 (pre-quantized per head, pre-scaled q) + qs [B, H, 1] f32;
@@ -102,42 +112,71 @@ def cross_decode_attention(qq: jnp.ndarray, qs: jnp.ndarray,
     sliced operand to pallas_call would copy the 100s-of-MB slab every
     step). Returns [B, D]. Layout padding (key scale 0) is masked inside
     the kernel — real scales are strictly positive.
+
+    `beam_width` K > 1: qq is [B, K, D] s8 with qs [B, K*H, 1] (the K beam
+    queries of each sample, already beam-folded — decode_step's layout),
+    the cache stays ONE slab per sample, and the kernel streams it once
+    for all K beams; returns [B, K, D].
     """
-    B, D = qq.shape
+    folded = qq.ndim == 3
+    K = beam_width
+    if folded:
+        B, _, D = qq.shape
+    else:
+        B, D = qq.shape
     H = n_heads
     hd = D // H
     S = kq.shape[2]
     l = layer
 
-    kernel = functools.partial(_kernel, n_heads=H, head_dim=hd)
-    # q/out carry a singleton row axis so every block's trailing two dims
-    # match the array dims (the Pallas TPU block-shape rule).
+    kernel = functools.partial(_kernel, n_heads=H, head_dim=hd,
+                               beam_width=K)
+    # q/out carry a K-row axis (singleton for greedy) so every block's
+    # trailing two dims match the array dims (Pallas TPU block-shape rule).
     out = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, H, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, K * H, 1), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b: (l, b, 0, 0)),
             pl.BlockSpec((1, 1, H, S), lambda b: (l, b, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b: (l, b, 0, 0)),
             pl.BlockSpec((1, 1, H, S), lambda b: (l, b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, D), out_dtype),
+        out_specs=pl.BlockSpec((1, K, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, K, D), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(qq[:, None, :], qs, kq, ks, vq, vs)
-    return out[:, 0]
+    )(qq if folded else qq[:, None, :], qs, kq, ks, vq, vs)
+    return out if folded else out[:, 0]
 
 
 def cross_decode_reference(qq, qs, kq, ks, vq, vs, *, layer, n_heads,
                            out_dtype=jnp.bfloat16):
-    """jnp reference with identical quantization points (parity tests)."""
+    """jnp reference with identical quantization points (parity tests).
+    Accepts the beam-folded layout too (qq [B, K, D], qs [B, K*H, 1])."""
     kq, ks, vq, vs = kq[layer], ks[layer], vq[layer], vs[layer]
-    B, D = qq.shape
     H = n_heads
+    if qq.ndim == 3:                       # beam-folded: per-beam rows
+        B, K, D = qq.shape
+        hd = D // H
+        S = kq.shape[1]
+        qf = (qq.reshape(B, K, H, hd).astype(jnp.float32)
+              * qs.reshape(B, K, H, 1))                     # [B, K, H, hd]
+        kf = kq.reshape(B, S, H, hd).astype(jnp.float32)
+        st = jnp.einsum("bkhd,bshd->bkhs", qf, kf) * ks[:, None]
+        st = jnp.where(ks[:, None] > 0, st, NEG)
+        p = jax.nn.softmax(st, axis=-1)
+        pw = p * vs[:, None]
+        pscale = jnp.maximum(jnp.max(jnp.abs(pw), -1, keepdims=True),
+                             1e-8) / 127.0
+        pqq = jnp.clip(jnp.round(pw / pscale), -127, 127)
+        vf = vq.reshape(B, S, H, hd).astype(jnp.float32)
+        o = jnp.einsum("bkhs,bshd->bkhd", pqq, vf) * pscale
+        return o.reshape(B, K, D).astype(out_dtype)
+    B, D = qq.shape
     hd = D // H
     S = kq.shape[1]
     qf = qq.reshape(B, H, hd).astype(jnp.float32) * qs      # [B, H, hd]

@@ -101,3 +101,15 @@ def test_beam_segmented_int8_matches(setup):
     out = beam_decode(params, enc, cfg, prompt, num_beams=2, max_new_tokens=10,
                       cross_kv_int8=True, self_kv_int8=True, segment=3)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_beam_scores_int8_head_minor_token_agreement(setup):
+    """Head-minor beams (the fused-kernel cache layout; jnp twin off-TPU)
+    must token-agree with the classic-layout s8 einsum beams — the two
+    quantization pipelines compute the same math in different layouts."""
+    cfg, params, enc, prompt = setup
+    kw = dict(num_beams=3, max_new_tokens=8, cross_kv_int8=True,
+              self_kv_int8=True, scores_int8=True)
+    classic = beam_decode(params, enc, cfg, prompt, head_minor=False, **kw)
+    hm = beam_decode(params, enc, cfg, prompt, head_minor=True, **kw)
+    np.testing.assert_array_equal(np.asarray(classic), np.asarray(hm))

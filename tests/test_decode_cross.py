@@ -98,3 +98,42 @@ def test_kernel_close_to_exact_attention(data):
     err = (np.abs(np.asarray(got) - np.asarray(exact)).max()
            / max(np.abs(np.asarray(exact)).max(), 1e-6))
     assert err < 0.05, f"relative error {err}"
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_beamfolded_kernel_matches_reference(data, K,
+                                             rng=np.random.default_rng(13)):
+    """Beam-folded queries (K per sample) over the shared per-sample slab:
+    the kernel's [K*H, S] row expansion must match the per-beam jnp
+    reference, and K=1 must embed as the greedy case."""
+    _, _, kq, ks, vq, vs, _ = data
+    qh = jnp.asarray(rng.standard_normal((B, H, K, hd)), jnp.float32)
+    qq4, qs4 = whisper.quantize_kv(qh)                 # [B,H,K,hd], [B,H,K]
+    qq = qq4.transpose(0, 2, 1, 3).reshape(B, K, D)    # [B, K, D]
+    qs = qs4.transpose(0, 2, 1).reshape(B, K * H, 1)   # row k*H+h order
+    got = cross_decode_attention(qq, qs, kq, ks, vq, vs, layer=1,
+                                 n_heads=H, out_dtype=jnp.float32,
+                                 interpret=True, beam_width=K)
+    want = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=1,
+                                  n_heads=H, out_dtype=jnp.float32)
+    assert got.shape == (B, K, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_beamfolded_reference_matches_model_twin(data,
+                                                 rng=np.random.default_rng(3)):
+    """The beam-folded reference must equal the model-side jnp twin on the
+    same folded query block (what decode_step(beam_width=K) computes)."""
+    _, _, kq, ks, vq, vs, _ = data
+    K = 3
+    qh = jnp.asarray(rng.standard_normal((B, H, K, hd)), jnp.float32)
+    qq4, qs4 = whisper.quantize_kv(qh)
+    qq = qq4.transpose(0, 2, 1, 3).reshape(B, K, D)
+    qs = qs4.transpose(0, 2, 1).reshape(B, K * H, 1)
+    ref = cross_decode_reference(qq, qs, kq, ks, vq, vs, layer=0,
+                                 n_heads=H, out_dtype=jnp.float32)
+    twin = whisper._cross_attention_int8_mxu(qh, kq[0], ks[0], vq[0], vs[0])
+    twin = whisper.merge_heads(twin)                   # [B, K, D]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(twin),
+                               rtol=2e-5, atol=2e-5)
