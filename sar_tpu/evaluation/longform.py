@@ -73,7 +73,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     condition_on_previous_text: bool = False,
                     initial_prompt: str | None = None,
                     task: str = "transcribe", best_of: int = 1,
-                    timestamp_seek: bool = True):
+                    timestamp_seek: bool = True,
+                    carry_initial_prompt: bool = False):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -115,7 +116,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             condition=condition_on_previous_text,
             initial_prompt=initial_prompt, task=task, best_of=best_of,
             chunk_seconds=chunk_seconds, overlap_seconds=overlap_seconds,
-            timestamp_seek=timestamp_seek)
+            timestamp_seek=timestamp_seek,
+            carry_initial_prompt=carry_initial_prompt)
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
@@ -224,7 +226,8 @@ def _transcribe_long_conditioned(
         lora, lora_scale, fallback, no_speech_threshold, logprob_threshold,
         timestamps, word_timestamps, condition, initial_prompt,
         task="transcribe", best_of=1, chunk_seconds=30.0,
-        overlap_seconds=0.0, timestamp_seek=True):
+        overlap_seconds=0.0, timestamp_seek=True,
+        carry_initial_prompt=False):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -249,9 +252,14 @@ def _transcribe_long_conditioned(
            else {"temperatures": (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))
-    ctx: list[int] = ([] if initial_prompt is None
-                      else _encode_prompt_text(tokenizer, initial_prompt,
-                                               cfg)[-C:] if C else [])
+    init_ids: list[int] = ([] if initial_prompt is None
+                           else _encode_prompt_text(tokenizer, initial_prompt,
+                                                    cfg)[-C:] if C else [])
+    # openai's carry_initial_prompt: the initial prompt stays PINNED at the
+    # front of every window's context; only the rolling previous-text part
+    # trims to the remaining budget.
+    carry: list[int] = init_ids if (carry_initial_prompt and condition) else []
+    ctx: list[int] = [] if carry else list(init_ids)
     ts_begin = cfg.no_timestamps_token_id + 1
     eos = cfg.eos_token_id
     texts: list[str] = []
@@ -274,8 +282,10 @@ def _transcribe_long_conditioned(
         feats = mel_ops.log_mel_spectrogram(
             jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
         feats = feats[:, :, :cfg.num_audio_frames]
-        if ctx and C:
-            ids = [cfg.prev_sot_token_id] + ctx[-C:] + std
+        keep = C - len(carry)
+        pool = carry + (ctx[-keep:] if keep > 0 else [])
+        if pool and C:
+            ids = [cfg.prev_sot_token_id] + pool + std
         else:
             ids = list(std)
         buf = np.full((1, width), eos, np.int32)

@@ -80,6 +80,10 @@ def parse_args(argv=None):
     p.add_argument("--initial_prompt", type=str, default=None,
                    help="Free text fed as decoder context for the first "
                         "window (names, vocabulary, style)")
+    p.add_argument("--carry_initial_prompt", action="store_true",
+                   help="Pin --initial_prompt at the front of EVERY "
+                        "window's context (openai's carry_initial_prompt); "
+                        "needs --condition_on_previous_text")
     p.add_argument("--streaming", action="store_true",
                    help="Feed the file as a live stream; print committed "
                         "text incrementally")
@@ -219,7 +223,9 @@ def main(argv=None):
                                   condition_on_previous_text=(
                                       args.condition_on_previous_text),
                                   initial_prompt=args.initial_prompt,
-                                  task=args.task, best_of=args.best_of)
+                                  task=args.task, best_of=args.best_of,
+                                  carry_initial_prompt=(
+                                      args.carry_initial_prompt))
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 print(text)

@@ -161,8 +161,10 @@ class _FakeTranscriber:
              prompt_len))
         i = min(len(_FakeTranscriber.calls) - 1,
                 len(_FakeTranscriber.script) - 1)
-        text, ids = _FakeTranscriber.script[i]
-        row = {"temperature": 0.0, "avg_logprob": -0.1,
+        entry = _FakeTranscriber.script[i]
+        text, ids = entry[0], entry[1]
+        temp = entry[2] if len(entry) > 2 else 0.0
+        row = {"temperature": temp, "avg_logprob": -0.1,
                "no_speech_prob": 0.0, "compression_ratio": 1.0,
                "ids": list(ids)}
         return [text], [row]
@@ -243,3 +245,55 @@ def test_timestamp_seek_floor_and_optout(monkeypatch):
                     condition_on_previous_text=True, timestamps=True,
                     timestamp_seek=False)
     assert len(_FakeTranscriber.calls) == 2        # opt-out: fixed strides
+
+
+def test_carry_initial_prompt_pins_prefix(monkeypatch):
+    """carry_initial_prompt keeps the initial-prompt tokens at the front of
+    EVERY window's context; without it the initial prompt conditions only
+    the first window (and rolling text replaces it)."""
+    import sar_tpu.evaluation.fallback as fb
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    tok = _LetterTok()
+
+    class _EncTok(_LetterTok):
+        def encode(self, text, add_special_tokens=False):
+            return [50, 51]                      # fixed "initial prompt" ids
+
+    a = 60
+    _FakeTranscriber.script = [("w", [a])] * 3
+    _FakeTranscriber.calls = []
+    monkeypatch.setattr(fb, "FallbackTranscriber", _FakeTranscriber)
+    audio = np.zeros(3 * 16000, np.float32)
+    transcribe_long(audio, cfg, None, _EncTok(), language="english",
+                    chunk_seconds=1.0, max_new_tokens=8,
+                    condition_on_previous_text=True,
+                    initial_prompt="names", carry_initial_prompt=True)
+    assert len(_FakeTranscriber.calls) == 3
+    for prompt, plen in _FakeTranscriber.calls:
+        ids = list(prompt[0, :plen])
+        assert ids[0] == cfg.prev_sot_token_id
+        assert ids[1:3] == [50, 51]              # pinned prefix, every window
+    # window 2+ also carries the rolling text after the pinned prefix
+    p2 = list(_FakeTranscriber.calls[2][0][0, :_FakeTranscriber.calls[2][1]])
+    assert a in p2
+
+    # The semantic difference shows at a prompt reset (T > 0.5): carrying
+    # keeps the pinned prefix, plain initial_prompt loses everything.
+    _FakeTranscriber.script = [("w", [a], 1.0), ("w", [a]), ("w", [a])]
+    _FakeTranscriber.calls = []
+    transcribe_long(audio, cfg, None, _EncTok(), language="english",
+                    chunk_seconds=1.0, max_new_tokens=8,
+                    condition_on_previous_text=True,
+                    initial_prompt="names", carry_initial_prompt=True)
+    p1, plen1 = _FakeTranscriber.calls[1]
+    assert list(p1[0, :plen1])[1:3] == [50, 51]   # carried through the reset
+
+    _FakeTranscriber.calls = []
+    transcribe_long(audio, cfg, None, _EncTok(), language="english",
+                    chunk_seconds=1.0, max_new_tokens=8,
+                    condition_on_previous_text=True,
+                    initial_prompt="names")
+    p1, plen1 = _FakeTranscriber.calls[1]
+    ids1 = list(p1[0, :plen1])
+    assert 50 not in ids1 and 51 not in ids1      # reset wiped the prompt
