@@ -90,7 +90,9 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
                              temperature: float = 0.0,
                              rng: jnp.ndarray | None = None,
                              with_logprobs: bool = False,
-                             with_no_speech: bool = False):
+                             with_no_speech: bool = False,
+                             no_speech_pos=0,
+                             max_gen_tokens=None):
     """The decode loop alone, from a prepared DecodeCache (see note above).
     Total length = cache.self_k.shape[3]. `begin_suppress_ids` are masked
     only at the first generated position (HF begin_suppress_tokens
@@ -128,8 +130,15 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
     accumulated log_softmax of each CHOSEN generated token, including the
     first EOS (openai's sum_logprobs convention; avg = sum / n_scored).
     `with_no_speech` returns p(<|nospeech|>) [B] fp32 from the RAW logits
-    of the SOT step (pos 0) — openai's probs_at_sot silence signal,
-    captured before any suppress/grammar masking.
+    of the SOT step — openai's probs_at_sot silence signal, captured
+    before any suppress/grammar masking. `no_speech_pos` (traced scalar)
+    is the buffer position of `<|sot|>`: 0 for the standard prompt, >0
+    when a `<|startofprev|>` context precedes it (conditioned long-form).
+    `max_gen_tokens` (traced scalar or None) caps the GENERATED tokens per
+    row at plen + max_gen_tokens: rows that hit the cap emit EOS padding
+    and count as finished (needed when the prompt buffer is wider than
+    the live prompt — without it the loop would run to the buffer end and
+    the logprob stats would cover tokens the caller never keeps).
     Returns tokens, then (sum_logprobs, n_scored) if requested, then
     no_speech_prob if requested, then the cache if `return_cache` — flat
     tuple in that order."""
@@ -180,10 +189,12 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             lora=lora, adapter_idx=adapter_idx, lora_scale=lora_scale,
             scores_int8=scores_int8)
         if with_no_speech:
-            # openai's probs_at_sot: softmax of the RAW logits at pos 0.
+            # openai's probs_at_sot: softmax of the RAW logits at the
+            # <|sot|> position (0 unless a <|startofprev|> context
+            # precedes the standard prompt).
             p0 = jax.nn.softmax(logits.astype(jnp.float32), -1)
-            ns_prob = jnp.where(pos == 0, p0[:, cfg.no_speech_token_id],
-                                ns_prob)
+            ns_prob = jnp.where(pos == no_speech_pos,
+                                p0[:, cfg.no_speech_token_id], ns_prob)
         if suppress is not None:
             logits = logits.at[:, suppress].set(jnp.finfo(jnp.float32).min)
         if begin_suppress is not None:
@@ -208,6 +219,10 @@ def greedy_decode_from_cache(params: dict, cache, cfg: WhisperConfig,
             sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Prompt positions force the provided token; finished rows emit EOS.
         in_prompt = pos + 1 < plen
+        if max_gen_tokens is not None:
+            # Position pos+1 would be generated token index pos+1-plen.
+            past_cap = (pos + 1 - plen) >= max_gen_tokens
+            finished = finished | (~in_prompt & past_cap)
         forced = jax.lax.dynamic_slice_in_dim(
             tokens, jnp.minimum(pos + 1, total - 1), 1, axis=1)[:, 0]
         nxt = jnp.where(in_prompt, forced, jnp.where(finished, eos, sampled))

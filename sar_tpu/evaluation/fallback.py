@@ -150,14 +150,21 @@ class FallbackTranscriber:
         # temperature is a TRACED scalar (Gumbel-max in the loop): one
         # compiled decode program serves every escalation step, T=0.0
         # included.
+        P_std = int(self._prompt.shape[0])
+
         def dec(params, cache, prompt, plen, rng, temperature):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
+            # Per-call prompts are [<|startofprev|> ctx... | std]: <|sot|>
+            # sits at plen - P_std (0 for the plain prompt), and generation
+            # is capped at max_new_tokens past the live prompt so the
+            # logprob stats cover exactly the tokens the caller keeps.
             return greedy_decode_from_cache(
                 params, cache, cfg, prompt, prompt_len=plen,
                 lora=lora, lora_scale=lora_scale,
                 temperature=temperature, rng=rng, with_logprobs=True,
                 with_no_speech=True, return_cache=True,
-                timestamps=timestamps)
+                timestamps=timestamps, no_speech_pos=plen - P_std,
+                max_gen_tokens=max_new_tokens)
 
         self._enc = jax.jit(enc)
         self._mkcache = jax.jit(mkcache)

@@ -256,9 +256,11 @@ def _transcribe_long_conditioned(
                            else _encode_prompt_text(tokenizer, initial_prompt,
                                                     cfg)[-C:] if C else [])
     # openai's carry_initial_prompt: the initial prompt stays PINNED at the
-    # front of every window's context; only the rolling previous-text part
-    # trims to the remaining budget.
-    carry: list[int] = init_ids if (carry_initial_prompt and condition) else []
+    # front of every window's context — with OR without
+    # condition_on_previous_text (openai pins it either way; only the
+    # rolling previous-text part obeys the condition flag) — and survives
+    # T>0.5 prompt resets. The rolling part trims to the remaining budget.
+    carry: list[int] = init_ids if carry_initial_prompt else []
     ctx: list[int] = [] if carry else list(init_ids)
     ts_begin = cfg.no_timestamps_token_id + 1
     eos = cfg.eos_token_id
@@ -300,22 +302,25 @@ def _transcribe_long_conditioned(
         if timestamps and not skipped:
             from sar_tpu.decode.timestamps import split_segments
             splits = list(split_segments(row["ids"], cfg))
-            # openai's window-advance rule: a trailing OPEN segment after
-            # closed ones is dropped (its audio re-decodes next window);
-            # the window is consumed up to the last CLOSED segment's end.
-            # A lone open segment (no closed ones) keeps the whole window.
-            if (seek_by_ts and len(splits) > 1 and splits[-1][1] is None
-                    and any(t1 is not None for _, t1, _ in splits[:-1])):
-                splits = splits[:-1]
-                kept_ids = [t for _, _, toks in splits for t in toks]
-                text = tokenizer.decode(kept_ids)
-            if seek_by_ts and splits and splits[-1][1] is not None:
-                # Floor of 1 s guards against pathological near-zero
-                # timestamps stalling the loop (openai has no such guard;
-                # real models always progress).
-                adv_s = splits[-1][1]
+            # openai's window-advance rule: the window is consumed up to
+            # the last CLOSED segment's end, and anything decoded after it
+            # is dropped — its audio re-decodes in the next window. The
+            # drop is taken ONLY together with the seek (dropping under a
+            # fixed stride would lose that speech permanently). A window
+            # with no closed segments keeps everything and consumes the
+            # whole stride. A 1 s progress floor guards against
+            # pathological near-zero timestamps stalling the loop (openai
+            # has no such guard; real models always progress).
+            closed = [i for i, s in enumerate(splits) if s[1] is not None]
+            if seek_by_ts and closed:
+                li = closed[-1]
+                adv_s = splits[li][1]
                 if adv_s >= 1.0:
                     advance = min(int(adv_s * sr), max(len(chunk), 1))
+                    if li + 1 < len(splits):
+                        splits = splits[:li + 1]
+                        kept_ids = [t for _, _, toks in splits for t in toks]
+                        text = tokenizer.decode(kept_ids)
         if not skipped:
             texts.append(text)
             if timestamps:

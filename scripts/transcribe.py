@@ -82,8 +82,9 @@ def parse_args(argv=None):
                         "window (names, vocabulary, style)")
     p.add_argument("--carry_initial_prompt", action="store_true",
                    help="Pin --initial_prompt at the front of EVERY "
-                        "window's context (openai's carry_initial_prompt); "
-                        "needs --condition_on_previous_text")
+                        "window's context (openai's carry_initial_prompt; "
+                        "works with or without "
+                        "--condition_on_previous_text)")
     p.add_argument("--streaming", action="store_true",
                    help="Feed the file as a live stream; print committed "
                         "text incrementally")
@@ -145,6 +146,12 @@ def main(argv=None):
                         float(probs[0, int(idx[0])]))
         conditioned = (args.condition_on_previous_text
                        or args.initial_prompt is not None)
+        if args.carry_initial_prompt and args.initial_prompt is None:
+            logger.warning("--carry_initial_prompt needs --initial_prompt; "
+                           "ignored")
+        if args.best_of > 1 and not args.fallback:
+            logger.warning("--best_of applies to the sampled --fallback "
+                           "passes; ignored without --fallback")
         # Conditioning rides the long-form engine (a short clip is just a
         # single window there).
         long = (args.longform or seconds > mel_ops.CHUNK_SECONDS

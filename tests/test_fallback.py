@@ -282,3 +282,52 @@ def test_best_of_ignored_at_temperature_zero(setup):
                                             best_of=5, **kw)
     assert t1 == t5
     assert [r["avg_logprob"] for r in i1] == [r["avg_logprob"] for r in i5]
+
+
+def test_no_speech_pos_tracks_sot_in_conditioned_prompts(setup):
+    """With a <|startofprev|>+context prefix, p(<|nospeech|>) must be read
+    at the <|sot|> step (openai probs_at_sot), not at buffer position 0."""
+    import jax.numpy as jnp
+
+    from sar_tpu.decode.greedy import greedy_decode_from_cache
+    cfg, params, mel, enc = setup
+    std = cfg.prompt_ids("english")
+    ctx = [cfg.prev_sot_token_id, 70, 71]
+    buf = jnp.asarray([ctx + std] * mel.shape[0], jnp.int32)
+    cache = whisper.init_cache(params, enc, cfg, max_len=buf.shape[1] + 4)
+    _, ns_at_sot = greedy_decode_from_cache(
+        params, cache, cfg, buf, with_no_speech=True, segment=0,
+        no_speech_pos=len(ctx))
+    cache = whisper.init_cache(params, enc, cfg, max_len=buf.shape[1] + 4)
+    _, ns_at_0 = greedy_decode_from_cache(
+        params, cache, cfg, buf, with_no_speech=True, segment=0,
+        no_speech_pos=0)
+    # Teacher-forced truth at the SOT step.
+    logits = whisper.decode_train(params, enc, buf, cfg)
+    want = jax.nn.softmax(np.asarray(logits, np.float32), -1)[
+        :, len(ctx), cfg.no_speech_token_id]
+    np.testing.assert_allclose(np.asarray(ns_at_sot), want,
+                               rtol=2e-2, atol=2e-3)
+    assert not np.allclose(np.asarray(ns_at_sot), np.asarray(ns_at_0))
+
+
+def test_max_gen_tokens_caps_generation(setup):
+    """With a prompt buffer wider than the live prompt, max_gen_tokens
+    bounds BOTH the kept ids and the logprob accounting."""
+    import jax.numpy as jnp
+
+    from sar_tpu.decode.greedy import (greedy_decode_from_cache,
+                                       transcribe_tokens)
+    cfg, params, mel, enc = setup
+    std = cfg.prompt_ids("english")
+    width = len(std) + 6                       # budget for wider prompts
+    buf = np.full((mel.shape[0], width), cfg.eos_token_id, np.int32)
+    buf[:, :len(std)] = std
+    total = width + 8
+    cache = whisper.init_cache(params, enc, cfg, max_len=total)
+    tokens, sum_lp, n_sc = greedy_decode_from_cache(
+        params, cache, cfg, jnp.asarray(buf), prompt_len=jnp.int32(len(std)),
+        with_logprobs=True, segment=0, max_gen_tokens=3)
+    rows = transcribe_tokens(tokens, cfg, prompt_len=len(std))
+    assert all(len(r) <= 3 for r in rows)
+    assert np.asarray(n_sc).max() <= 3

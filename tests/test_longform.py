@@ -237,6 +237,17 @@ def test_timestamp_seek_floor_and_optout(monkeypatch):
                     condition_on_previous_text=True, timestamps=True)
     assert len(_FakeTranscriber.calls) == 2        # 2 fixed 2 s windows
 
+    # Floor-suppressed seek must NOT drop the open tail (the fixed stride
+    # consumes its audio — dropping it would lose that speech forever).
+    _FakeTranscriber.script = [("t", [ts(0.0), 60, ts(0.5), ts(0.5), 61])]
+    _FakeTranscriber.calls = []
+    text, segs = transcribe_long(audio, cfg, None, tok, language="english",
+                                 chunk_seconds=2.0, max_new_tokens=8,
+                                 condition_on_previous_text=True,
+                                 timestamps=True)
+    assert len(_FakeTranscriber.calls) == 2        # stride stayed fixed
+    assert any(s[2] == tok.decode([61]).strip() for s in segs)  # tail kept
+
     _FakeTranscriber.script = [("t", [ts(0.0), 60, ts(1.5), ts(1.5), 61,
                                       ts(2.0)])]
     _FakeTranscriber.calls = []
@@ -297,3 +308,16 @@ def test_carry_initial_prompt_pins_prefix(monkeypatch):
     p1, plen1 = _FakeTranscriber.calls[1]
     ids1 = list(p1[0, :plen1])
     assert 50 not in ids1 and 51 not in ids1      # reset wiped the prompt
+
+    # openai pins the carried prompt even WITHOUT conditioning; the
+    # rolling text stays off.
+    _FakeTranscriber.script = [("w", [a])] * 3
+    _FakeTranscriber.calls = []
+    transcribe_long(audio, cfg, None, _EncTok(), language="english",
+                    chunk_seconds=1.0, max_new_tokens=8,
+                    initial_prompt="names", carry_initial_prompt=True)
+    assert len(_FakeTranscriber.calls) == 3
+    for prompt, plen in _FakeTranscriber.calls:
+        ids = list(prompt[0, :plen])
+        assert ids[1:3] == [50, 51]
+        assert a not in ids                       # no rolling context
