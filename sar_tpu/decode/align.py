@@ -75,15 +75,16 @@ def median_filter(x: jnp.ndarray, width: int = 7) -> jnp.ndarray:
 def alignment_matrix(params, enc_out, tokens, cfg, heads, prompt_len,
                      lora=None, adapter_idx=None, lora_scale: float = 1.0,
                      medfilt_width: int = 7) -> jnp.ndarray:
-    """[B, T, S] fp32 saliency matrix (steps 1-2 of the module pipeline).
+    """([B, T, S] fp32 saliency matrix, [B, T] fp32 next-token probs)
+    (steps 1-2 of the module pipeline).
 
     `tokens` is the decode output buffer [B, T]; only rows
     prompt_len..first-EOS are statistically valid (the standardization
     masks the rest; callers slice rows per utterance before the DTW)."""
-    probs = whisper.decode_cross_attn(params, enc_out, tokens, cfg,
-                                      heads=heads, lora=lora,
-                                      adapter_idx=adapter_idx,
-                                      lora_scale=lora_scale)  # [B,n,T,S]
+    probs, tprobs = whisper.decode_cross_attn(
+        params, enc_out, tokens, cfg, heads=heads, lora=lora,
+        adapter_idx=adapter_idx, lora_scale=lora_scale,
+        with_token_probs=True)                            # [B,n,T,S]
     T = tokens.shape[1]
     pos = jnp.arange(T)
     is_eos = (tokens == cfg.eos_token_id) & (pos[None] >= prompt_len)
@@ -96,7 +97,7 @@ def alignment_matrix(params, enc_out, tokens, cfg, heads, prompt_len,
                   keepdims=True) / cnt
     w = (probs - mean) * jax.lax.rsqrt(var + 1e-8)
     w = median_filter(w, medfilt_width)
-    return jnp.mean(w, axis=1)
+    return jnp.mean(w, axis=1), tprobs
 
 
 def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -191,14 +192,17 @@ def split_words(ids, tokenizer) -> tuple[list[str], list[int]]:
 
 
 def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
-                      *, frame_seconds: float = FRAME_SECONDS) -> list[dict]:
+                      *, frame_seconds: float = FRAME_SECONDS,
+                      token_probs=None) -> list[dict]:
     """DTW a single utterance's saliency matrix into word timings.
 
     matrix: [n_text + 1, S] (text-token rows then the EOS row — the EOS
     row's first aligned frame closes the last word), or [n_text, S] when
     the decode filled its buffer without emitting EOS (the window end
-    closes the last word instead). Returns [{"word", "start", "end"}]
-    with monotone non-decreasing starts."""
+    closes the last word instead). Returns [{"word", "start", "end",
+    "probability"}] with monotone non-decreasing starts; probability is
+    the mean token probability over the word's tokens (openai's word
+    probability; 0.0 when `token_probs` is not given)."""
     n = len(ids)
     if n == 0 or matrix.shape[0] not in (n, n + 1):
         return []
@@ -213,9 +217,12 @@ def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
     for w, b0, b1 in zip(words, bounds[:-1], bounds[1:]):
         if not w:
             continue
+        prob = (float(np.mean(token_probs[b0:b1]))
+                if token_probs is not None and b1 > b0 else 0.0)
         out.append({"word": w,
                     "start": float(token_start[b0]),
-                    "end": float(token_start[min(b1, len(token_start) - 1)])})
+                    "end": float(token_start[min(b1, len(token_start) - 1)]),
+                    "probability": prob})
     return out
 
 
@@ -241,10 +248,11 @@ def align_words(params, mel, tokens, cfg, tokenizer, *, prompt_len: int,
         return [[] for _ in ids_rows]
     # Bound retraces: round the token span up to a 32 multiple.
     T_used = min(-(-(prompt_len + max_n + 1) // 32) * 32, tokens.shape[1])
-    matrix = np.asarray(alignment_matrix(
+    matrix, tprobs = alignment_matrix(
         params, enc_out, jnp.asarray(tokens)[:, :T_used], cfg, heads,
         prompt_len, lora=lora, adapter_idx=adapter_idx,
-        lora_scale=lora_scale, medfilt_width=medfilt_width))
+        lora_scale=lora_scale, medfilt_width=medfilt_width)
+    matrix, tprobs = np.asarray(matrix), np.asarray(tprobs)
     S = matrix.shape[-1]
     out = []
     for b, ids in enumerate(ids_rows):
@@ -254,5 +262,9 @@ def align_words(params, mel, tokens, cfg, tokenizer, *, prompt_len: int,
             continue
         S_b = S if num_frames is None else max(2, min(int(num_frames[b]), S))
         rows = matrix[b, prompt_len:prompt_len + n + 1, :S_b]
-        out.append(words_from_matrix(rows, ids, tokenizer))
+        # Token at buffer index prompt_len+i is scored by the logits one
+        # position earlier: tprobs[t] = p(tokens[t+1] | prefix<=t).
+        out.append(words_from_matrix(
+            rows, ids, tokenizer,
+            token_probs=tprobs[b, prompt_len - 1:prompt_len + n - 1]))
     return out

@@ -199,7 +199,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                 off = group[b][1]
                 words.extend({"word": w["word"],
                               "start": round(w["start"] + off, 3),
-                              "end": round(w["end"] + off, 3)}
+                              "end": round(w["end"] + off, 3),
+                              "probability": w["probability"]}
                              for w in aligned[b])
     text = " ".join(t.strip() for t in texts if t.strip())
     if word_timestamps:
@@ -346,7 +347,8 @@ def _transcribe_long_conditioned(
                                       num_frames=frames)[0]
                 words.extend({"word": w["word"],
                               "start": round(w["start"] + off, 3),
-                              "end": round(w["end"] + off, 3)}
+                              "end": round(w["end"] + off, 3),
+                              "probability": w["probability"]}
                              for w in aligned)
         # openai's prompt-reset rule: sampled-at-high-temperature windows
         # poison the context; skipped (silent) windows contribute nothing.

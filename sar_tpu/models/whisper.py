@@ -439,10 +439,17 @@ def decode_cross_attn(params: Params, enc_out: jnp.ndarray,
                       heads: tuple[tuple[int, int], ...],
                       lora: Params | None = None,
                       adapter_idx: jnp.ndarray | None = None,
-                      lora_scale: float = 1.0) -> jnp.ndarray:
+                      lora_scale: float = 1.0,
+                      with_token_probs: bool = False) -> jnp.ndarray:
     """Teacher-forced decoder forward returning the cross-attention
     probabilities of the selected (layer, head) pairs: [B, len(heads), T, S]
     fp32, ordered like `heads`.
+
+    `with_token_probs=True` additionally returns [B, T] fp32: the softmax
+    probability of tokens[:, t+1] given the prefix (position T-1 gets 0) —
+    the per-token confidence openai's find_alignment reads for word
+    probabilities; it reuses this pass's activations (one extra logits
+    matmul).
 
     The alignment capture for word-level timestamps (openai-whisper
     timing.find_alignment installs QK hooks; here the probs are first-class
@@ -495,7 +502,17 @@ def decode_cross_attn(params: Params, enc_out: jnp.ndarray,
         h_ = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
         h_ = jax.nn.gelu(linear(h_, p["fc1"]), approximate=False)
         x = x + linear(h_, p["fc2"])
-    return jnp.stack(captured, axis=1)
+    maps = jnp.stack(captured, axis=1)
+    if not with_token_probs:
+        return maps
+    xf = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
+    logits = jnp.dot(xf, dec["token_embed"].T.astype(dtype),
+                     preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    nxt = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
+    tp = jnp.take_along_axis(probs, nxt[..., None], axis=-1)[..., 0]
+    tp = tp.at[:, -1].set(0.0)
+    return maps, tp
 
 
 def forward(params: Params, mel: jnp.ndarray, tokens: jnp.ndarray,

@@ -239,3 +239,29 @@ def test_longform_word_timestamps_with_fallback(model):
     assert isinstance(text, str)
     joined = "".join(w["word"] for w in words)
     assert "".join(joined.split()) == "".join(text.split())
+
+
+def test_word_probabilities(model):
+    """Word dicts carry openai's probability: the mean teacher-forced
+    next-token probability over the word's tokens, in (0, 1]."""
+    from sar_tpu.decode.align import split_words
+    from sar_tpu.decode.greedy import greedy_decode, transcribe_tokens
+    cfg, params, mel = model
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    prompt_len = int(prompt.shape[0])
+    tokens = greedy_decode(params, enc, cfg, prompt, max_new_tokens=10)
+    words = align_words(params, mel, tokens, cfg, _Tok(),
+                        prompt_len=prompt_len, enc_out=enc)
+    rows = [w for row in words for w in row]
+    assert rows, "expected at least one aligned word"
+    assert all(0.0 < w["probability"] <= 1.0 for w in rows)
+    # Cross-check the first word against decode_train's softmax directly.
+    logits = whisper.decode_train(params, enc, jnp.asarray(tokens), cfg)
+    p = np.asarray(jax.nn.softmax(np.asarray(logits, np.float32), -1))
+    ids0 = transcribe_tokens(tokens, cfg, prompt_len=prompt_len)[0]
+    tok_p = [p[0, prompt_len - 1 + i, ids0[i]] for i in range(len(ids0))]
+    _, counts = split_words(ids0, _Tok())
+    want = float(np.mean(tok_p[:counts[0]]))
+    got = words[0][0]["probability"]
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
