@@ -67,12 +67,41 @@ def decode_bytes_per_step(params, cache, total, kv_int8):
     return cross + self_sz + dec_params
 
 
+def _backend_watchdog(seconds: int):
+    """Fail fast with a parseable JSON line if backend initialization
+    hangs (a dead axon tunnel blocks jax.devices() indefinitely — measured
+    in-session; an error record beats a wedged driver). A daemon THREAD,
+    not SIGALRM: the hang sits inside a C call (PJRT client creation)
+    that never returns to the bytecode loop, so a Python signal handler
+    would be deferred forever. Returns a cancel callable."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({"metric": "rtfx", "value": 0.0,
+                              "unit": "audio_s_per_s", "vs_baseline": 0.0,
+                              "error": f"backend init exceeded {seconds}s "
+                                       "(TPU tunnel down?)"}), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watch, daemon=True,
+                     name="bench-init-watchdog").start()
+    return done.set
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from sar_tpu.models import whisper
     from sar_tpu.models.config import get_config
     from sar_tpu.ops import mel as mel_ops
+
+    cancel = _backend_watchdog(
+        int(os.environ.get("BENCH_INIT_TIMEOUT", "900")))
+    jax.devices()                  # force backend init under the watchdog
+    cancel()
 
     cfg = get_config(MODEL)
     params = whisper.cast_params(

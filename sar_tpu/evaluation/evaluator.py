@@ -39,7 +39,7 @@ class ASREvaluator:
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
                  flash: str | bool = "auto", scores_int8: bool = False,
                  prompt_tokens=None, fallback: bool = False,
-                 task: str = "transcribe"):
+                 task: str = "transcribe", best_of: int = 1):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -79,6 +79,7 @@ class ASREvaluator:
                            "evaluation; disabled here")
             fallback = False
         self.fallback = fallback
+        self.best_of = best_of
         # Blockwise (flash) encoder attention: avoids the [1500, 1500] fp32
         # score materialization that OOMed whisper-large at batch 32.
         # "auto" = on for TPU backends (the Pallas kernel has no CPU build).
@@ -153,7 +154,7 @@ class ASREvaluator:
             self._fallback = FallbackTranscriber(
                 cfg, self.params, self.tokenizer, language=self.language,
                 max_new_tokens=mnt, lora=lora, lora_scale=scale,
-                kv_int8=kv_int8, flash=flash,
+                kv_int8=kv_int8, flash=flash, best_of=self.best_of,
                 prompt_tokens=np.asarray(self._prompt).tolist())
         self._prep = jax.jit(prep)
         self._prep_enc = jax.jit(prep_enc_only)

@@ -64,6 +64,9 @@ def parse_args(argv=None):
                         "decoder for whisper-large batch inference)")
     p.add_argument("--dcn_dp", type=int, default=1,
                    help="Data-parallel replicas over DCN (multi-slice/multi-host)")
+    p.add_argument("--best_of", type=int, default=1,
+                   help="Sampled candidates per --fallback escalation pass "
+                        "at T > 0 (openai best_of)")
     p.add_argument("--fallback", action="store_true",
                    help="openai-style temperature fallback during "
                         "evaluation (greedy, single-chip)")
@@ -136,7 +139,8 @@ def main(argv=None):
                              lora_scale=lora_scale,
                              kv_int8=args.kv_cache == "int8", mesh=mesh,
                              scores_int8=args.attn_scores == "int8",
-                             fallback=args.fallback, task=args.task)
+                             fallback=args.fallback, task=args.task,
+                             best_of=args.best_of)
     need_preds = args.save_predictions or args.per_sample
     results = evaluator.evaluate(loader, return_predictions=need_preds)
 
