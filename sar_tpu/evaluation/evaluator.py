@@ -252,10 +252,13 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
                      batch_size: int = 8, max_new_tokens: int = 256,
                      lora: dict | None = None,
                      lora_scale: float = 1.0,
-                     task: str = "transcribe") -> list[str]:
+                     task: str = "transcribe",
+                     return_ids: bool = False) -> list[str]:
     """Batched raw-audio transcription (parity with :223-292): pad/trim to the
     30 s window, mel on device, compiled greedy decode. `task="translate"`
-    emits English for any source language."""
+    emits English for any source language. `return_ids=True` returns the
+    per-clip token id lists instead of decoded strings (the overlapped
+    long-form path merges ids across windows before decoding)."""
     prompt = jnp.asarray(cfg.prompt_ids(language, task), jnp.int32)
 
     @jax.jit
@@ -269,7 +272,7 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
                              max_new_tokens=max_new_tokens, lora=lora,
                              lora_scale=lora_scale)
 
-    texts: list[str] = []
+    out: list = []
     for s in range(0, len(audios), batch_size):
         chunk = audios[s:s + batch_size]
         n = len(chunk)
@@ -277,5 +280,6 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
             chunk + [np.zeros(1, np.float32)] * (batch_size - n))
         tokens = run(params, jnp.asarray(padded))
         ids = transcribe_tokens(tokens[:n], cfg, prompt_len=int(prompt.shape[0]))
-        texts.extend(tokenizer.decode(row) for row in ids)
-    return texts
+        out.extend(ids if return_ids
+                   else (tokenizer.decode(row) for row in ids))
+    return out

@@ -60,6 +60,42 @@ def chunk_audio_with_offsets(
     return out
 
 
+def merge_overlapping_ids(sequences: list[list[int]]) -> list[int]:
+    """Stitch per-chunk token sequences decoded from OVERLAPPING windows
+    into one sequence (the HF Whisper pipeline's chunk-merge algorithm,
+    transformers tokenization_whisper._find_longest_common_sequence —
+    verified against the installed implementation in
+    tests/test_longform.py): slide the right sequence over the left's
+    tail, score each lag by matches/lag (+ a tiny lag-proportional epsilon
+    so longer matches win ties), and cut both sides at the midpoint of the
+    best-matching span."""
+    seqs = [list(map(int, s)) for s in sequences if len(s)]
+    if not seqs:
+        return []
+    left = seqs[0]
+    total: list[int] = []
+    for right in seqs[1:]:
+        ll, rl = len(left), len(right)
+        best = 0.0
+        best_idx = (ll, ll, 0, 0)
+        for i in range(1, ll + rl):
+            eps = i / 10000.0
+            l0, l1 = max(0, ll - i), min(ll, ll + rl - i)
+            r0, r1 = max(0, i - ll), min(rl, i)
+            lseg = np.asarray(left[l0:l1])
+            rseg = np.asarray(right[r0:r1])
+            matches = int(np.sum(lseg == rseg))
+            score = matches / i + eps
+            if matches > 1 and score > best:
+                best = score
+                best_idx = (l0, l1, r0, r1)
+        l0, l1, r0, r1 = best_idx
+        total.extend(left[:(l1 + l0) // 2])
+        left = right[(r1 + r0) // 2:]
+    total.extend(left)
+    return total
+
+
 def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     language: str = "hindi", max_new_tokens: int = 256,
                     chunk_seconds: float = 30.0,
@@ -122,6 +158,16 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
         from sar_tpu.evaluation.evaluator import batch_transcribe
+        if overlap_seconds > 0 and len(chunks) > 1:
+            # Overlapping windows re-transcribe the overlap; merge the
+            # token sequences (HF pipeline chunk-merge) so the joined text
+            # has no duplicated boundary speech. Still ONE batched decode.
+            ids = batch_transcribe(chunks, cfg, params, tokenizer,
+                                   language=language, batch_size=batch_size,
+                                   max_new_tokens=max_new_tokens, lora=lora,
+                                   lora_scale=lora_scale, task=task,
+                                   return_ids=True)
+            return tokenizer.decode(merge_overlapping_ids(ids)).strip()
         texts = batch_transcribe(chunks, cfg, params, tokenizer,
                                  language=language, batch_size=batch_size,
                                  max_new_tokens=max_new_tokens, lora=lora,

@@ -321,3 +321,48 @@ def test_carry_initial_prompt_pins_prefix(monkeypatch):
         ids = list(prompt[0, :plen])
         assert ids[1:3] == [50, 51]
         assert a not in ids                       # no rolling context
+
+
+def test_merge_overlapping_ids_matches_hf():
+    """The chunk-merge must match the installed transformers
+    implementation (tokenization_whisper._find_longest_common_sequence)
+    on random overlapping sequences."""
+    pytest.importorskip("transformers")
+    from transformers.models.whisper.tokenization_whisper import (
+        _find_longest_common_sequence)
+
+    from sar_tpu.evaluation.longform import merge_overlapping_ids
+    rng = np.random.default_rng(17)
+    for trial in range(20):
+        base = rng.integers(200, 250, size=rng.integers(20, 60)).tolist()
+        # overlapping windows with jittered boundaries + occasional noise
+        seqs, i = [], 0
+        while i < len(base):
+            j = min(len(base), i + int(rng.integers(8, 16)))
+            seq = base[i:j]
+            if rng.random() < 0.3 and seq:
+                seq[rng.integers(0, len(seq))] = int(rng.integers(200, 250))
+            seqs.append(seq)
+            i = j - int(rng.integers(2, 6))      # overlap 2-5 tokens
+            if j == len(base):
+                break
+        got = merge_overlapping_ids(seqs)
+        want = list(map(int, _find_longest_common_sequence(seqs)))
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_longform_overlap_merges_tokens(rng):
+    """Overlapped batched long-form returns merged text (no crash, one
+    string) and the zero-overlap join still works."""
+    import jax
+
+    from sar_tpu.data.tokenizer import CharTokenizer
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+    cfg = get_config("whisper-test")
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    audio = (rng.standard_normal(int(2.0 * 16000)) * 0.1).astype(np.float32)
+    text = transcribe_long(audio, cfg, params, CharTokenizer(cfg),
+                           language="english", max_new_tokens=6,
+                           chunk_seconds=0.8, overlap_seconds=0.3)
+    assert isinstance(text, str)
