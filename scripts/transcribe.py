@@ -91,6 +91,12 @@ def parse_args(argv=None):
     p.add_argument("--stream_chunk_seconds", type=float, default=1.0)
     p.add_argument("--output", type=str, default=None,
                    help="Write {file: transcript} JSON here")
+    p.add_argument("--output_format", type=str, default=None,
+                   choices=["txt", "json", "srt", "vtt", "tsv"],
+                   help="Write <audio stem>.<fmt> per input (openai CLI "
+                        "writer parity); srt/vtt/tsv imply --timestamps")
+    p.add_argument("--output_dir", type=str, default=".",
+                   help="Directory for --output_format files")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="Force a JAX backend (default: environment's)")
@@ -146,6 +152,12 @@ def main(argv=None):
                         float(probs[0, int(idx[0])]))
         conditioned = (args.condition_on_previous_text
                        or args.initial_prompt is not None)
+        from sar_tpu.evaluation import writers
+        if (args.output_format in writers.SEGMENT_FORMATS
+                and not args.timestamps and not args.streaming):
+            logger.info("--output_format %s needs segments; enabling "
+                        "--timestamps", args.output_format)
+            args.timestamps = True
         if args.carry_initial_prompt and args.initial_prompt is None:
             logger.warning("--carry_initial_prompt needs --initial_prompt; "
                            "ignored")
@@ -186,6 +198,8 @@ def main(argv=None):
                 logger.warning("--timestamps and --word_timestamps are "
                                "exclusive; emitting segments "
                                "(--word_timestamps ignored)")
+        file_segments = None
+        file_words = None
         t0 = time.perf_counter()
         if args.streaming:
             from sar_tpu.evaluation.streaming import StreamingTranscriber
@@ -235,12 +249,14 @@ def main(argv=None):
                                       args.carry_initial_prompt))
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
+                file_words = long_words
                 print(text)
                 for w in long_words:
                     print(f"[{w['start']:7.2f} -> {w['end']:7.2f}] "
                           f"{w['word']}")
             elif args.timestamps:
                 text, segments = out
+                file_segments = segments
                 for t0, t1, seg_text in segments:
                     a = "?" if t0 is None else f"{t0:7.2f}"
                     z = "?" if t1 is None else f"{t1:7.2f}"
@@ -279,7 +295,11 @@ def main(argv=None):
             if args.timestamps:
                 from sar_tpu.decode.timestamps import (format_segments,
                                                        split_segments)
-                text = format_segments(split_segments(ids[0], cfg), tokenizer)
+                raw = split_segments(ids[0], cfg)
+                text = format_segments(raw, tokenizer)
+                file_segments = [
+                    (a, z, tokenizer.decode(toks).strip())
+                    for a, z, toks in raw if tokenizer.decode(toks).strip()]
             else:
                 text = tokenizer.decode(ids[0])
             print(text)
@@ -292,6 +312,7 @@ def main(argv=None):
                     prompt_len=int(prompt.shape[0]), lora=lora,
                     lora_scale=lora_scale, enc_out=enc,
                     num_frames=[n_frames])[0]
+                file_words = words
                 for w in words:
                     print(f"[{w['start']:6.2f} -> {w['end']:6.2f}] {w['word']}")
         elif args.fallback:
@@ -322,6 +343,19 @@ def main(argv=None):
         logger.info("%s: %.1f s audio in %.2f s (%.1fx real-time)",
                     path, seconds, dt, seconds / max(dt, 1e-9))
         results[path] = text
+        if args.output_format:
+            if (args.output_format in writers.SEGMENT_FORMATS
+                    and file_segments is None):
+                logger.warning("%s: no segments on this path; %s output "
+                               "will be empty of cues", path,
+                               args.output_format)
+            out_dir = Path(args.output_dir)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            dst = out_dir / (Path(path).stem + "." + args.output_format)
+            dst.write_text(writers.render(args.output_format, text,
+                                          segments=file_segments,
+                                          words=file_words))
+            logger.info("wrote %s", dst)
     if args.output:
         Path(args.output).write_text(json.dumps(results, indent=2,
                                                 ensure_ascii=False))

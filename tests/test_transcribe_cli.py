@@ -150,3 +150,16 @@ def test_transcribe_translate_task(wav):
                                "--max_new_tokens", "8",
                                "--task", "translate"])
     assert isinstance(results[wav], str)
+
+
+def test_transcribe_output_format(wav, tmp_path):
+    import transcribe
+    transcribe.main([wav, "--model", "whisper-test", "--language", "english",
+                     "--max_new_tokens", "8", "--output_format", "json",
+                     "--output_dir", str(tmp_path)])
+    out = tmp_path / (Path(wav).stem + ".json")
+    assert "text" in json.loads(out.read_text())
+    transcribe.main([wav, "--model", "whisper-test", "--language", "english",
+                     "--max_new_tokens", "8", "--output_format", "srt",
+                     "--output_dir", str(tmp_path)])
+    assert (tmp_path / (Path(wav).stem + ".srt")).exists()
