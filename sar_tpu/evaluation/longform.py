@@ -110,7 +110,9 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     initial_prompt: str | None = None,
                     task: str = "transcribe", best_of: int = 1,
                     timestamp_seek: bool = True,
-                    carry_initial_prompt: bool = False):
+                    carry_initial_prompt: bool = False,
+                    temperatures=None,
+                    compression_ratio_threshold: float | None = 2.4):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
@@ -153,7 +155,9 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             initial_prompt=initial_prompt, task=task, best_of=best_of,
             chunk_seconds=chunk_seconds, overlap_seconds=overlap_seconds,
             timestamp_seek=timestamp_seek,
-            carry_initial_prompt=carry_initial_prompt)
+            carry_initial_prompt=carry_initial_prompt,
+            temperatures=temperatures,
+            compression_ratio_threshold=compression_ratio_threshold)
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
     if not fallback and not word_timestamps and not timestamps:
@@ -187,8 +191,11 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
         max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
         timestamps=timestamps, task=task, best_of=best_of,
         **({"logprob_threshold": logprob_threshold,
-            "no_speech_threshold": no_speech_threshold} if fallback
-           else {"temperatures": (0.0,),
+            "no_speech_threshold": no_speech_threshold,
+            "compression_ratio_threshold": compression_ratio_threshold,
+            **({"temperatures": temperatures} if temperatures else {})}
+           if fallback
+           else {"temperatures": temperatures or (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))
     prompt = cfg.prompt_ids(language, task, no_timestamps=not timestamps)
@@ -274,7 +281,8 @@ def _transcribe_long_conditioned(
         timestamps, word_timestamps, condition, initial_prompt,
         task="transcribe", best_of=1, chunk_seconds=30.0,
         overlap_seconds=0.0, timestamp_seek=True,
-        carry_initial_prompt=False):
+        carry_initial_prompt=False, temperatures=None,
+        compression_ratio_threshold=2.4):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -295,8 +303,11 @@ def _transcribe_long_conditioned(
         timestamps=timestamps, prompt_width=width, task=task,
         best_of=best_of,
         **({"logprob_threshold": logprob_threshold,
-            "no_speech_threshold": no_speech_threshold} if fallback
-           else {"temperatures": (0.0,),
+            "no_speech_threshold": no_speech_threshold,
+            "compression_ratio_threshold": compression_ratio_threshold,
+            **({"temperatures": temperatures} if temperatures else {})}
+           if fallback
+           else {"temperatures": temperatures or (0.0,),
                  "compression_ratio_threshold": None,
                  "logprob_threshold": None}))
     init_ids: list[int] = ([] if initial_prompt is None

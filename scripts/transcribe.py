@@ -51,6 +51,19 @@ def parse_args(argv=None):
                    help="translate = X -> English speech translation "
                         "(Whisper's second task token)")
     p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--length_penalty", type=float, default=1.0,
+                   help="Beam-search length penalty (HF/openai semantics)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="Sampling temperature. With --fallback it is the "
+                        "START of the escalation ladder (T, T+0.2, ... 1.0 "
+                        "— openai's tuple); alone, a single sampled pass "
+                        "at this temperature")
+    p.add_argument("--compression_ratio_threshold", type=float, default=2.4,
+                   help="--fallback retry threshold (gzip ratio)")
+    p.add_argument("--logprob_threshold", type=float, default=-1.0,
+                   help="--fallback retry + silence-overrule threshold")
+    p.add_argument("--no_speech_threshold", type=float, default=0.6,
+                   help="Silence-gate threshold in long-form --fallback")
     p.add_argument("--timestamps", action="store_true",
                    help="Decode with Whisper's timestamp grammar (HF "
                         "return_timestamps parity) and print "
@@ -177,7 +190,8 @@ def main(argv=None):
             for flag, on in [("--num_beams", args.num_beams > 1),
                              ("--timestamps", args.timestamps),
                              ("--word_timestamps", args.word_timestamps),
-                             ("--fallback", args.fallback)]:
+                             ("--fallback", args.fallback),
+                             ("--temperature", args.temperature > 0)]:
                 if on:
                     logger.warning("%s does not apply to streaming; "
                                    "ignored", flag)
@@ -190,14 +204,28 @@ def main(argv=None):
                                "exclusive; long-form emits segments "
                                "(--word_timestamps ignored)")
         else:
-            if args.fallback and (args.num_beams > 1 or args.timestamps
-                                  or args.word_timestamps):
-                logger.warning("--fallback is greedy plain-text only in "
-                               "single-window mode; ignored here")
+            if (args.fallback or args.temperature > 0) and (
+                    args.num_beams > 1 or args.timestamps
+                    or args.word_timestamps):
+                logger.warning("--fallback/--temperature are greedy "
+                               "plain-text only in single-window mode; "
+                               "ignored here")
             if args.timestamps and args.word_timestamps:
                 logger.warning("--timestamps and --word_timestamps are "
                                "exclusive; emitting segments "
                                "(--word_timestamps ignored)")
+        # openai's temperature ladder: with --fallback, (T, T+0.2, ..,
+        # 1.0); --temperature alone is one sampled pass at T.
+        if args.fallback:
+            temps, t = [], args.temperature
+            while t < 1.0 + 1e-6:
+                temps.append(round(t, 2))
+                t += 0.2
+            temps = tuple(temps) or (args.temperature,)
+        elif args.temperature > 0:
+            temps = (args.temperature,)
+        else:
+            temps = None
         file_segments = None
         file_words = None
         t0 = time.perf_counter()
@@ -246,7 +274,13 @@ def main(argv=None):
                                   initial_prompt=args.initial_prompt,
                                   task=args.task, best_of=args.best_of,
                                   carry_initial_prompt=(
-                                      args.carry_initial_prompt))
+                                      args.carry_initial_prompt),
+                                  temperatures=temps,
+                                  no_speech_threshold=(
+                                      args.no_speech_threshold),
+                                  logprob_threshold=args.logprob_threshold,
+                                  compression_ratio_threshold=(
+                                      args.compression_ratio_threshold))
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 file_words = long_words
@@ -284,6 +318,7 @@ def main(argv=None):
                 tokens = beam_decode(params, enc, cfg, prompt,
                                      num_beams=args.num_beams,
                                      max_new_tokens=args.max_new_tokens,
+                                     length_penalty=args.length_penalty,
                                      lora=lora, lora_scale=lora_scale,
                                      timestamps=args.timestamps)
             else:
@@ -315,18 +350,26 @@ def main(argv=None):
                 file_words = words
                 for w in words:
                     print(f"[{w['start']:6.2f} -> {w['end']:6.2f}] {w['word']}")
-        elif args.fallback:
+        elif args.fallback or args.temperature > 0:
             from sar_tpu.evaluation.fallback import \
                 transcribe_batch_with_fallback
             padded = mel_ops.stack_pad_audio([audio])
             feats = mel_ops.log_mel_spectrogram(
                 jnp.asarray(padded), cfg.num_mel_bins, dtype=jnp.bfloat16)
             feats = feats[:, :, :cfg.num_audio_frames]
+            # --temperature alone = pure sampling (no quality gates).
             (text,), (row,) = transcribe_batch_with_fallback(
                 cfg, params, feats, tokenizer, language=language,
                 max_new_tokens=args.max_new_tokens,
                 lora=lora, lora_scale=lora_scale, task=args.task,
-                best_of=args.best_of)
+                best_of=args.best_of, temperatures=temps,
+                compression_ratio_threshold=(
+                    args.compression_ratio_threshold if args.fallback
+                    else None),
+                logprob_threshold=(args.logprob_threshold if args.fallback
+                                   else None),
+                no_speech_threshold=(args.no_speech_threshold
+                                     if args.fallback else None))
             logger.info("accepted at T=%.1f (avg_logprob %.3f, "
                         "compression %.2f)", row["temperature"],
                         row["avg_logprob"], row["compression_ratio"])
