@@ -74,7 +74,8 @@ def median_filter(x: jnp.ndarray, width: int = 7) -> jnp.ndarray:
                                              "medfilt_width", "lora_scale"))
 def alignment_matrix(params, enc_out, tokens, cfg, heads, prompt_len,
                      lora=None, adapter_idx=None, lora_scale: float = 1.0,
-                     medfilt_width: int = 7) -> jnp.ndarray:
+                     medfilt_width: int = 7
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """([B, T, S] fp32 saliency matrix, [B, T] fp32 next-token probs)
     (steps 1-2 of the module pipeline).
 

@@ -253,7 +253,8 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
                      lora: dict | None = None,
                      lora_scale: float = 1.0,
                      task: str = "transcribe",
-                     return_ids: bool = False) -> list[str]:
+                     return_ids: bool = False
+                     ) -> list[str] | list[list[int]]:
     """Batched raw-audio transcription (parity with :223-292): pad/trim to the
     30 s window, mel on device, compiled greedy decode. `task="translate"`
     emits English for any source language. `return_ids=True` returns the

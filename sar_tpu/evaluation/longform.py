@@ -160,7 +160,9 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             compression_ratio_threshold=compression_ratio_threshold)
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
-    if not fallback and not word_timestamps and not timestamps:
+    sampled = bool(temperatures) and any(t > 0 for t in temperatures)
+    if (not fallback and not word_timestamps and not timestamps
+            and not sampled):
         from sar_tpu.evaluation.evaluator import batch_transcribe
         if overlap_seconds > 0 and len(chunks) > 1:
             # Overlapping windows re-transcribe the overlap; merge the

@@ -507,10 +507,13 @@ def decode_cross_attn(params: Params, enc_out: jnp.ndarray,
         return maps
     xf = layer_norm(x, dec["ln"]["scale"], dec["ln"]["bias"])
     logits = jnp.dot(xf, dec["token_embed"].T.astype(dtype),
-                     preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    # Gather-then-normalize: p = exp(logit - logsumexp) reads ONE logit per
+    # position instead of materializing a second [B, T, V] softmax tensor
+    # (~740 MB fp32 at whisper-large aligner shapes).
     nxt = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
-    tp = jnp.take_along_axis(probs, nxt[..., None], axis=-1)[..., 0]
+    chosen = jnp.take_along_axis(logits, nxt[..., None], axis=-1)[..., 0]
+    tp = jnp.exp(chosen - jax.scipy.special.logsumexp(logits, axis=-1))
     tp = tp.at[:, -1].set(0.0)
     return maps, tp
 

@@ -174,9 +174,9 @@ def main(argv=None):
         if args.carry_initial_prompt and args.initial_prompt is None:
             logger.warning("--carry_initial_prompt needs --initial_prompt; "
                            "ignored")
-        if args.best_of > 1 and not args.fallback:
-            logger.warning("--best_of applies to the sampled --fallback "
-                           "passes; ignored without --fallback")
+        if args.best_of > 1 and not args.fallback and args.temperature == 0:
+            logger.warning("--best_of applies to sampled passes; ignored "
+                           "without --fallback or --temperature > 0")
         # Conditioning rides the long-form engine (a short clip is just a
         # single window there).
         long = (args.longform or seconds > mel_ops.CHUNK_SECONDS
@@ -291,9 +291,9 @@ def main(argv=None):
             elif args.timestamps:
                 text, segments = out
                 file_segments = segments
-                for t0, t1, seg_text in segments:
-                    a = "?" if t0 is None else f"{t0:7.2f}"
-                    z = "?" if t1 is None else f"{t1:7.2f}"
+                for s0, s1, seg_text in segments:
+                    a = "?" if s0 is None else f"{s0:7.2f}"
+                    z = "?" if s1 is None else f"{s1:7.2f}"
                     print(f"[{a} -> {z}] {seg_text}")
             else:
                 text = out
@@ -332,9 +332,9 @@ def main(argv=None):
                                                        split_segments)
                 raw = split_segments(ids[0], cfg)
                 text = format_segments(raw, tokenizer)
-                file_segments = [
-                    (a, z, tokenizer.decode(toks).strip())
-                    for a, z, toks in raw if tokenizer.decode(toks).strip()]
+                decoded = ((a, z, tokenizer.decode(toks).strip())
+                           for a, z, toks in raw)
+                file_segments = [seg for seg in decoded if seg[2]]
             else:
                 text = tokenizer.decode(ids[0])
             print(text)
