@@ -97,6 +97,6 @@ def test_job_scripts_syntax():
     """Grid scripts (jobs/*.sh) must at least parse (bash -n)."""
     import subprocess
     scripts = sorted((ROOT / "jobs").glob("*.sh"))
-    assert len(scripts) == 8
+    assert len(scripts) == 9
     for s in scripts:
         subprocess.run(["bash", "-n", str(s)], check=True)
