@@ -51,13 +51,20 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="Force a JAX backend (default: environment's)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from sar_tpu.data.collate import create_collator
     from sar_tpu.data.datasets import create_dataset
     from sar_tpu.data.loader import DataLoader

@@ -59,6 +59,9 @@ def parse_args(argv=None):
                    help="translate = X -> English speech translation "
                         "(plain serving only; routed mode is "
                         "transcription-only)")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="Force a JAX backend (default: environment's)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     return p.parse_args(argv)
@@ -182,6 +185,9 @@ def make_server(service, host: str = "127.0.0.1", port: int = 0):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     service = build_service(args)
     server = make_server(service, args.host, args.port)
     logger.info("serving on http://%s:%d (batch=%d, wait=%.0fms)",
