@@ -85,6 +85,11 @@ def parse_args(argv=None):
     p.add_argument("--longform", action="store_true",
                    help="Chunked transcription (auto for clips > 30 s)")
     p.add_argument("--chunk_seconds", type=float, default=30.0)
+    p.add_argument("--clip_timestamps", type=str, default=None,
+                   help='"start,end,start,end,..." seconds: transcribe only '
+                        "these ranges (openai clip_timestamps); output "
+                        "times stay on the ORIGINAL clock. Last end "
+                        "defaults to the file end")
     p.add_argument("--overlap_seconds", type=float, default=0.0)
     p.add_argument("--condition_on_previous_text", action="store_true",
                    help="Sequential long-form with <|startofprev|> context "
@@ -114,6 +119,32 @@ def parse_args(argv=None):
                    choices=["cpu", "tpu", "axon"],
                    help="Force a JAX backend (default: environment's)")
     return p.parse_args(argv)
+
+
+def _run_long(audio, transcribe_long, cfg, params, tokenizer, language,
+              lora, lora_scale, args, temps):
+    """One long-form engine call with every CLI knob applied (factored out
+    so --clip_timestamps can run it per clip range)."""
+    return transcribe_long(audio, cfg, params, tokenizer,
+                           language=language,
+                           max_new_tokens=args.max_new_tokens,
+                           chunk_seconds=args.chunk_seconds,
+                           overlap_seconds=args.overlap_seconds,
+                           lora=lora, lora_scale=lora_scale,
+                           fallback=args.fallback,
+                           word_timestamps=(args.word_timestamps
+                                            and not args.timestamps),
+                           timestamps=args.timestamps,
+                           condition_on_previous_text=(
+                               args.condition_on_previous_text),
+                           initial_prompt=args.initial_prompt,
+                           task=args.task, best_of=args.best_of,
+                           carry_initial_prompt=args.carry_initial_prompt,
+                           temperatures=temps,
+                           no_speech_threshold=args.no_speech_threshold,
+                           logprob_threshold=args.logprob_threshold,
+                           compression_ratio_threshold=(
+                               args.compression_ratio_threshold))
 
 
 def main(argv=None):
@@ -165,6 +196,15 @@ def main(argv=None):
                         float(probs[0, int(idx[0])]))
         conditioned = (args.condition_on_previous_text
                        or args.initial_prompt is not None)
+        clips = None
+        if args.clip_timestamps:
+            vals = [float(v) for v in args.clip_timestamps.split(",") if v]
+            if len(vals) % 2:
+                vals.append(seconds)
+            clips = list(zip(vals[::2], vals[1::2]))
+            if any(e <= s0 for s0, e in clips):
+                raise SystemExit("--clip_timestamps ranges must be "
+                                 "start < end")
         from sar_tpu.evaluation import writers
         if (args.output_format in writers.SEGMENT_FORMATS
                 and not args.timestamps and not args.streaming):
@@ -179,8 +219,14 @@ def main(argv=None):
                            "without --fallback or --temperature > 0")
         # Conditioning rides the long-form engine (a short clip is just a
         # single window there).
+        # Clip ranges ride the long-form engine (any range length works
+        # there; a short range is a single window).
         long = (args.longform or seconds > mel_ops.CHUNK_SECONDS
-                or (conditioned and not args.streaming))
+                or ((conditioned or clips is not None)
+                    and not args.streaming))
+        if clips is not None and args.streaming:
+            logger.warning("--clip_timestamps does not apply to streaming; "
+                           "ignored")
         if conditioned and args.streaming:
             logger.warning("--condition_on_previous_text/--initial_prompt "
                            "do not apply to streaming; ignored")
@@ -259,28 +305,30 @@ def main(argv=None):
             print()
         elif long:
             from sar_tpu.evaluation.longform import transcribe_long
-            out = transcribe_long(audio, cfg, params, tokenizer,
-                                  language=language,
-                                  max_new_tokens=args.max_new_tokens,
-                                  chunk_seconds=args.chunk_seconds,
-                                  overlap_seconds=args.overlap_seconds,
-                                  lora=lora, lora_scale=lora_scale,
-                                  fallback=args.fallback,
-                                  word_timestamps=(args.word_timestamps
-                                                   and not args.timestamps),
-                                  timestamps=args.timestamps,
-                                  condition_on_previous_text=(
-                                      args.condition_on_previous_text),
-                                  initial_prompt=args.initial_prompt,
-                                  task=args.task, best_of=args.best_of,
-                                  carry_initial_prompt=(
-                                      args.carry_initial_prompt),
-                                  temperatures=temps,
-                                  no_speech_threshold=(
-                                      args.no_speech_threshold),
-                                  logprob_threshold=args.logprob_threshold,
-                                  compression_ratio_threshold=(
-                                      args.compression_ratio_threshold))
+            texts_acc, segs_acc, words_acc = [], [], []
+            for c0, c1 in (clips or [(0.0, seconds)]):
+                piece = audio[int(c0 * mel_ops.SAMPLE_RATE):
+                              int(c1 * mel_ops.SAMPLE_RATE)]
+                out = _run_long(piece, transcribe_long, cfg, params,
+                                tokenizer, language, lora, lora_scale,
+                                args, temps)
+                if args.word_timestamps and not args.timestamps:
+                    t, ws = out
+                    words_acc.extend({**w, "start": round(w["start"] + c0, 3),
+                                      "end": round(w["end"] + c0, 3)}
+                                     for w in ws)
+                elif args.timestamps:
+                    t, segs = out
+                    segs_acc.extend((None if a is None else round(a + c0, 2),
+                                     None if z is None else round(z + c0, 2),
+                                     txt) for a, z, txt in segs)
+                else:
+                    t = out
+                texts_acc.append(t)
+            text = " ".join(t.strip() for t in texts_acc if t.strip())
+            out = ((text, words_acc)
+                   if args.word_timestamps and not args.timestamps
+                   else (text, segs_acc) if args.timestamps else text)
             if args.word_timestamps and not args.timestamps:
                 text, long_words = out
                 file_words = long_words

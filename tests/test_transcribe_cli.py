@@ -163,3 +163,22 @@ def test_transcribe_output_format(wav, tmp_path):
                      "--max_new_tokens", "8", "--output_format", "srt",
                      "--output_dir", str(tmp_path)])
     assert (tmp_path / (Path(wav).stem + ".srt")).exists()
+
+
+def test_transcribe_clip_timestamps(wav, tmp_path):
+    """--clip_timestamps processes only the given ranges; a range shorter
+    than the clip produces a transcript (and segment times stay on the
+    original clock when combined with --timestamps)."""
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8",
+                               "--clip_timestamps", "1.0,2.0"])
+    assert isinstance(results[wav], str)
+    out = tmp_path / "clips.json"
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8", "--timestamps",
+                               "--clip_timestamps", "0.5,1.2,2.0",
+                               "--output", str(out)])
+    assert isinstance(results[wav], str)
