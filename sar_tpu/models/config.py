@@ -134,6 +134,22 @@ MODEL_CONFIGS: dict[str, WhisperConfig] = {
         "whisper-large", 1280, 32, 20, mels=128, vocab=51866,
         translate_token_id=50359, transcribe_token_id=50360,
         no_timestamps_token_id=50364),
+    # Decoder-light variants (not in the reference's registry — it predates
+    # them): turbo = large-v3 encoder + 4-layer decoder (openai), distil =
+    # + 2-layer decoder (distil-whisper). Decode cost scales with decoder
+    # layers, so these are the serving-throughput configs.
+    "whisper-large-turbo": WhisperConfig(
+        name="whisper-large-turbo", vocab_size=51866, num_mel_bins=128,
+        d_model=1280, encoder_layers=32, encoder_heads=20,
+        decoder_layers=4, decoder_heads=20, ffn_dim=5120,
+        translate_token_id=50359, transcribe_token_id=50360,
+        no_timestamps_token_id=50364),
+    "distil-large-v3": WhisperConfig(
+        name="distil-large-v3", vocab_size=51866, num_mel_bins=128,
+        d_model=1280, encoder_layers=32, encoder_heads=20,
+        decoder_layers=2, decoder_heads=20, ffn_dim=5120,
+        translate_token_id=50359, transcribe_token_id=50360,
+        no_timestamps_token_id=50364),
     # Tiny random-weight config for tests (no network, CPU-friendly).
     "whisper-test": WhisperConfig(
         name="whisper-test", vocab_size=256, num_mel_bins=80, d_model=64,
@@ -152,6 +168,8 @@ HF_MODEL_IDS = {
     "whisper-small": "openai/whisper-small",
     "whisper-medium": "openai/whisper-medium",
     "whisper-large": "openai/whisper-large-v3",
+    "whisper-large-turbo": "openai/whisper-large-v3-turbo",
+    "distil-large-v3": "distil-whisper/distil-large-v3",
 }
 
 # Language name -> ISO code (parity with

@@ -100,3 +100,42 @@ def test_job_scripts_syntax():
     assert len(scripts) == 9
     for s in scripts:
         subprocess.run(["bash", "-n", str(s)], check=True)
+
+
+def test_decoder_light_variants_registered():
+    """turbo/distil registry entries: large-v3 encoder + shallow decoder."""
+    from sar_tpu.models.config import HF_MODEL_IDS, get_config
+    turbo = get_config("whisper-large-turbo")
+    distil = get_config("distil-large-v3")
+    for cfg, dec in ((turbo, 4), (distil, 2)):
+        assert cfg.encoder_layers == 32 and cfg.decoder_layers == dec
+        assert cfg.num_mel_bins == 128 and cfg.vocab_size == 51866
+        assert cfg.prompt_ids("hindi")[-1] == cfg.no_timestamps_token_id
+    assert HF_MODEL_IDS["whisper-large-turbo"].endswith("large-v3-turbo")
+
+
+def test_asymmetric_depth_forward_and_decode():
+    """Nothing may assume encoder_layers == decoder_layers (the turbo/distil
+    shape): forward + compiled greedy decode on a 3-enc/1-dec miniature."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sar_tpu.decode import greedy_decode
+    from sar_tpu.models import whisper
+    from sar_tpu.models.config import get_config
+    cfg = dataclasses.replace(get_config("whisper-test"),
+                              encoder_layers=3, decoder_layers=1)
+    params = whisper.init_params(jax.random.PRNGKey(0), cfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, cfg.num_mel_bins, 64)), jnp.float32)
+    enc = whisper.encode(params, mel, cfg)
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    toks = np.asarray(greedy_decode(params, enc, cfg, prompt,
+                                    max_new_tokens=6, cross_kv_int8=True,
+                                    self_kv_int8=True))
+    assert toks.shape[0] == 2
+    logits = whisper.decode_train(params, enc, jnp.asarray(toks), cfg)
+    assert logits.shape[-1] == cfg.vocab_size
