@@ -90,12 +90,45 @@ def adapter_similarity(bank_a: dict, bank_b: dict, scale_a: float,
             "mean_similarity": float(np.mean(flat)) if flat else 0.0}
 
 
-def compare_adapters(adapter_dirs: dict[str, str]) -> dict:
+def _resolve_peft_cfg(path, model):
+    """WhisperConfig for a PEFT dir: an explicit override (name or config
+    object), else the registry entry whose HF hub id matches the
+    checkpoint's base_model_name_or_path."""
+    import json
+    from pathlib import Path
+
+    from sar_tpu.models.config import (HF_MODEL_IDS, WhisperConfig,
+                                       get_config)
+    if isinstance(model, WhisperConfig):
+        return model
+    if model is not None:
+        return get_config(model)
+    base = json.loads((Path(path) / "adapter_config.json").read_text()).get(
+        "base_model_name_or_path", "")
+    for name, hub in HF_MODEL_IDS.items():
+        if hub == base:
+            return get_config(name)
+    raise ValueError(
+        f"cannot infer the base model for PEFT checkpoint {path} "
+        f"(base_model_name_or_path={base!r}); pass model= / --model")
+
+
+def compare_adapters(adapter_dirs: dict[str, str], model=None) -> dict:
     """Full cross-language analysis from checkpoint dirs:
-    {language: analysis} + pairwise similarity matrix."""
+    {language: analysis} + pairwise similarity matrix.
+
+    Accepts sar_tpu adapter dirs AND the reference's PEFT save_pretrained
+    dirs (/root/reference/src/models/whisper_lora.py:207-232); `model`
+    (registry name or WhisperConfig) overrides the base-model inference
+    for PEFT dirs."""
+    from sar_tpu.models import convert
     banks = {}
     for lang, path in adapter_dirs.items():
-        bank, lcfg, _ = lora_lib.load_adapter(path)
+        if convert.is_peft_checkpoint(path):
+            bank, lcfg = convert.lora_from_peft(
+                path, _resolve_peft_cfg(path, model))
+        else:
+            bank, lcfg, _ = lora_lib.load_adapter(path)
         banks[lang] = (bank, lcfg)
     report = {"adapters": {}, "pairwise_similarity": {}}
     for lang, (bank, lcfg) in banks.items():

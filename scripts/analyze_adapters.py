@@ -28,6 +28,10 @@ def parse_args(argv=None):
                    help="Write the full JSON report here")
     p.add_argument("--top_k", type=int, default=5,
                    help="Show the k layers with the largest deltas")
+    p.add_argument("--model", type=str, default=None,
+                   help="Base model registry name for PEFT checkpoint dirs "
+                        "whose base_model_name_or_path is not a known hub "
+                        "id")
     return p.parse_args(argv)
 
 
@@ -36,7 +40,7 @@ def main(argv=None):
     from sar_tpu.analysis import compare_adapters
 
     adapter_dirs = dict(pair.split("=", 1) for pair in args.adapters)
-    report = compare_adapters(adapter_dirs)
+    report = compare_adapters(adapter_dirs, model=args.model)
 
     for lang, analysis in report["adapters"].items():
         print(f"\n=== {lang} (r={analysis['rank']}, alpha={analysis['alpha']}) ===")

@@ -79,3 +79,29 @@ def test_compare_adapters_and_cli(banks, tmp_path):
         "--adapters", *[f"{l}={p}" for l, p in dirs.items()],
         "--output", str(out)])
     assert out.exists()
+
+
+def test_compare_adapters_accepts_peft_dirs(tmp_path):
+    """Adapter analysis must consume the reference's own PEFT
+    save_pretrained checkpoints (whisper_lora.py:207-232 format)."""
+    pytest.importorskip("peft")
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from _hf_tiny import (make_tiny_model, peft_wrap, randomize_peft_lora,
+                          tiny_hf_config)
+
+    from sar_tpu.analysis import compare_adapters
+    from sar_tpu.models import convert
+    hf_cfg = tiny_hf_config(vocab_size=120, eos=3, sot=4)
+    cfg = convert.config_from_hf(hf_cfg)
+    for i, lang in enumerate(("english", "german")):
+        peft_model = peft_wrap(make_tiny_model(hf_cfg, seed=i))
+        randomize_peft_lora(peft_model, seed=i)
+        peft_model.save_pretrained(str(tmp_path / lang))
+    report = compare_adapters({"english": str(tmp_path / "english"),
+                               "german": str(tmp_path / "german")},
+                              model=cfg)
+    assert set(report["adapters"]) == {"english", "german"}
+    assert "english/german" in report["pairwise_similarity"]
+    assert report["adapters"]["english"]["rank"] == 4
