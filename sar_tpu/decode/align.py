@@ -194,7 +194,7 @@ def split_words(ids, tokenizer) -> tuple[list[str], list[int]]:
 
 def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
                       *, frame_seconds: float = FRAME_SECONDS,
-                      token_probs=None) -> list[dict]:
+                      token_probs=None, with_bounds: bool = False):
     """DTW a single utterance's saliency matrix into word timings.
 
     matrix: [n_text + 1, S] (text-token rows then the EOS row — the EOS
@@ -203,10 +203,14 @@ def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
     closes the last word instead). Returns [{"word", "start", "end",
     "probability"}] with monotone non-decreasing starts; probability is
     the mean token probability over the word's tokens (openai's word
-    probability; 0.0 when `token_probs` is not given)."""
+    probability; 0.0 when `token_probs` is not given).
+
+    `with_bounds=True` additionally returns each word's [b0, b1) token
+    span into `ids` — the key for assigning words to timestamp segments
+    (openai add_word_timestamps walks segments by token counts)."""
     n = len(ids)
     if n == 0 or matrix.shape[0] not in (n, n + 1):
-        return []
+        return ([], []) if with_bounds else []
     ti, tj = dtw_path(-np.asarray(matrix, np.float32))
     jumps = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
     token_start = tj[jumps] * frame_seconds          # one per matrix row
@@ -215,6 +219,7 @@ def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
     words, counts = split_words(ids, tokenizer)
     bounds = np.pad(np.cumsum(counts), (1, 0))
     out = []
+    spans = []
     for w, b0, b1 in zip(words, bounds[:-1], bounds[1:]):
         if not w:
             continue
@@ -224,19 +229,23 @@ def words_from_matrix(matrix: np.ndarray, ids, tokenizer,
                     "start": float(token_start[b0]),
                     "end": float(token_start[min(b1, len(token_start) - 1)]),
                     "probability": prob})
+        spans.append((int(b0), int(b1)))
+    if with_bounds:
+        return out, spans
     return out
 
 
 def align_words(params, mel, tokens, cfg, tokenizer, *, prompt_len: int,
                 heads=None, num_frames=None, lora=None, adapter_idx=None,
                 lora_scale: float = 1.0, enc_out=None,
-                medfilt_width: int = 7) -> list[list[dict]]:
+                medfilt_width: int = 7, with_bounds: bool = False):
     """Word timings for a decoded batch.
 
     mel: [B, n_mels, frames]; tokens: the greedy/beam output buffer
     [B, total] (prompt + text + EOS padding); num_frames: per-row count of
     VALID encoder frames (unpadded audio length / 320 samples), or None for
-    the full window. Returns one [{"word", "start", "end"}] list per row.
+    the full window. Returns one [{"word", "start", "end"}] list per row;
+    with_bounds=True returns (word lists, per-word [b0, b1) token spans).
     Pass `enc_out` to reuse an encoder forward you already have."""
     from sar_tpu.decode.greedy import transcribe_tokens
     heads = tuple(heads) if heads is not None else default_alignment_heads(cfg)
@@ -246,7 +255,8 @@ def align_words(params, mel, tokens, cfg, tokenizer, *, prompt_len: int,
     ids_rows = transcribe_tokens(tokens, cfg, prompt_len=prompt_len)
     max_n = max((len(r) for r in ids_rows), default=0)
     if max_n == 0:
-        return [[] for _ in ids_rows]
+        empty = [[] for _ in ids_rows]
+        return (empty, [[] for _ in ids_rows]) if with_bounds else empty
     # Bound retraces: round the token span up to a 32 multiple.
     T_used = min(-(-(prompt_len + max_n + 1) // 32) * 32, tokens.shape[1])
     matrix, tprobs = alignment_matrix(
@@ -256,16 +266,24 @@ def align_words(params, mel, tokens, cfg, tokenizer, *, prompt_len: int,
     matrix, tprobs = np.asarray(matrix), np.asarray(tprobs)
     S = matrix.shape[-1]
     out = []
+    out_bounds = []
     for b, ids in enumerate(ids_rows):
         n = len(ids)
         if n == 0:
             out.append([])
+            out_bounds.append([])
             continue
         S_b = S if num_frames is None else max(2, min(int(num_frames[b]), S))
         rows = matrix[b, prompt_len:prompt_len + n + 1, :S_b]
         # Token at buffer index prompt_len+i is scored by the logits one
         # position earlier: tprobs[t] = p(tokens[t+1] | prefix<=t).
-        out.append(words_from_matrix(
+        row_out = words_from_matrix(
             rows, ids, tokenizer,
-            token_probs=tprobs[b, prompt_len - 1:prompt_len + n - 1]))
-    return out
+            token_probs=tprobs[b, prompt_len - 1:prompt_len + n - 1],
+            with_bounds=with_bounds)
+        if with_bounds:
+            out.append(row_out[0])
+            out_bounds.append(row_out[1])
+        else:
+            out.append(row_out)
+    return (out, out_bounds) if with_bounds else out

@@ -112,14 +112,18 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                     timestamp_seek: bool = True,
                     carry_initial_prompt: bool = False,
                     temperatures=None,
-                    compression_ratio_threshold: float | None = 2.4):
+                    compression_ratio_threshold: float | None = 2.4,
+                    hallucination_silence_threshold: float | None = None):
     """Transcribe arbitrarily long audio.
 
     Returns the joined text; (text, words) when `word_timestamps=True` —
     words are [{"word", "start", "end"}] on the global clock, in order; or
     (text, segments) when `timestamps=True` — each window decodes with the
     Whisper timestamp grammar and its (start, end, text) segments land on
-    the global clock (chunk offsets applied).
+    the global clock (chunk offsets applied). BOTH flags together return
+    (text, segments, words): timestamp-grammar segments plus DTW-aligned
+    words (openai's combined output shape — its word path always runs
+    under the grammar).
 
     `fallback=True` runs each window through the openai-style robust
     decode (evaluation/fallback.py): temperature escalation on degenerate
@@ -141,10 +145,20 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
     consumed; a trailing OPEN segment after closed ones is dropped and its
     audio re-decoded in the next window. `timestamp_seek=False` restores
     fixed strides. openai's full transcribe loop is therefore
-    `condition_on_previous_text=True, timestamps=True, fallback=True`."""
-    if timestamps and word_timestamps:
-        raise ValueError("pick timestamps (segments) OR word_timestamps")
-    if condition_on_previous_text or initial_prompt is not None:
+    `condition_on_previous_text=True, timestamps=True, fallback=True`.
+
+    `hallucination_silence_threshold` (seconds; openai transcribe.py):
+    requires BOTH timestamps and word_timestamps — segments whose aligned
+    words look hallucinated (evaluation/hallucination.py) make the seek
+    skip the silent gap around them instead of transcribing it. Runs the
+    sequential loop (it adjusts the seek) even without conditioning."""
+    if hallucination_silence_threshold is not None and not (
+            timestamps and word_timestamps):
+        raise ValueError(
+            "hallucination_silence_threshold needs timestamps=True and "
+            "word_timestamps=True (the heuristics score per-segment words)")
+    if (condition_on_previous_text or initial_prompt is not None
+            or hallucination_silence_threshold is not None):
         return _transcribe_long_conditioned(
             audio, cfg, params, tokenizer, language=language,
             max_new_tokens=max_new_tokens, lora=lora, lora_scale=lora_scale,
@@ -157,7 +171,8 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
             timestamp_seek=timestamp_seek,
             carry_initial_prompt=carry_initial_prompt,
             temperatures=temperatures,
-            compression_ratio_threshold=compression_ratio_threshold)
+            compression_ratio_threshold=compression_ratio_threshold,
+            hallucination_silence_threshold=hallucination_silence_threshold)
     pairs = chunk_audio_with_offsets(audio, chunk_seconds, overlap_seconds)
     chunks = [c for c, _ in pairs]
     sampled = bool(temperatures) and any(t > 0 for t in temperatures)
@@ -238,17 +253,29 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
         if word_timestamps and kept:
             from sar_tpu.decode.align import align_words
             # Rebuild the decode buffers from the ACCEPTED ids (the
-            # escalation may have replaced the greedy pass's tokens).
-            width = P + max(len(info[b]["ids"]) for b in kept) + 1
-            buf = np.full((n, width), eos, np.int32)
-            buf[:, :P] = prompt
-            for b in kept:
+            # escalation may have replaced the greedy pass's tokens). The
+            # aligner always teacher-forces under the <|notimestamps|>
+            # prompt on TEXT tokens only (openai find_alignment) — in
+            # combined segments+words mode the decode ids carry timestamp
+            # tokens that must be stripped first.
+            ts_begin = cfg.no_timestamps_token_id + 1
+
+            def _text_ids(b):
                 ids = info[b]["ids"]
-                buf[b, P:P + len(ids)] = ids
+                return ([int(t) for t in ids if int(t) < ts_begin]
+                        if timestamps else list(ids))
+            aprompt = cfg.prompt_ids(language, task, no_timestamps=True)
+            Pa = len(aprompt)
+            width = Pa + max(len(_text_ids(b)) for b in kept) + 1
+            buf = np.full((n, width), eos, np.int32)
+            buf[:, :Pa] = aprompt
+            for b in kept:
+                ids = _text_ids(b)
+                buf[b, Pa:Pa + len(ids)] = ids
             frames = [max(2, -(-len(c) // (2 * mel_ops.HOP_LENGTH)))
                       for c, _ in group]
             aligned = align_words(params, feats[:n], jnp.asarray(buf), cfg,
-                                  tokenizer, prompt_len=P, lora=lora,
+                                  tokenizer, prompt_len=Pa, lora=lora,
                                   lora_scale=lora_scale, num_frames=frames)
             for b in kept:
                 off = group[b][1]
@@ -258,11 +285,49 @@ def transcribe_long(audio: np.ndarray, cfg, params, tokenizer,
                               "probability": w["probability"]}
                              for w in aligned[b])
     text = " ".join(t.strip() for t in texts if t.strip())
+    if word_timestamps and timestamps:
+        return text, segments, words
     if word_timestamps:
         return text, words
     if timestamps:
         return text, segments
     return text
+
+
+def _window_segment_words(params, feats, splits, cfg, tokenizer, *,
+                          align_prompt, lora, lora_scale, chunk_len):
+    """Align one window's timestamp-grammar segments and assign words to
+    segments (openai add_word_timestamps): the window's concatenated TEXT
+    tokens (timestamp tokens stripped — openai find_alignment) run through
+    the DTW aligner under the <|notimestamps|> prompt, and each word lands
+    in the segment containing its first token. Returns one word list per
+    split, LOCAL clock."""
+    import jax.numpy as jnp
+
+    from sar_tpu.decode.align import align_words
+    ts_begin = cfg.no_timestamps_token_id + 1
+    text_per_seg = [[int(t) for t in toks if int(t) < ts_begin]
+                    for _, _, toks in splits]
+    flat = [t for toks in text_per_seg for t in toks]
+    if not flat:
+        return [[] for _ in splits]
+    Pa = len(align_prompt)
+    buf = np.full((1, Pa + len(flat) + 1), cfg.eos_token_id, np.int32)
+    buf[0, :Pa] = align_prompt
+    buf[0, Pa:Pa + len(flat)] = flat
+    frames = [max(2, -(-chunk_len // (2 * mel_ops.HOP_LENGTH)))]
+    rows, bounds = align_words(params, feats, jnp.asarray(buf), cfg,
+                               tokenizer, prompt_len=Pa, lora=lora,
+                               lora_scale=lora_scale, num_frames=frames,
+                               with_bounds=True)
+    hi = np.cumsum([len(t) for t in text_per_seg])
+    per_seg: list[list[dict]] = [[] for _ in splits]
+    si = 0
+    for w, (b0, _) in zip(rows[0], bounds[0]):
+        while si < len(hi) - 1 and b0 >= hi[si]:
+            si += 1
+        per_seg[si].append(w)
+    return per_seg
 
 
 def _encode_prompt_text(tokenizer, text: str, cfg) -> list[int]:
@@ -284,7 +349,8 @@ def _transcribe_long_conditioned(
         task="transcribe", best_of=1, chunk_seconds=30.0,
         overlap_seconds=0.0, timestamp_seek=True,
         carry_initial_prompt=False, temperatures=None,
-        compression_ratio_threshold=2.4):
+        compression_ratio_threshold=2.4,
+        hallucination_silence_threshold=None):
     """Sequential conditioned loop (see transcribe_long docstring)."""
     import jax.numpy as jnp
     import numpy as np
@@ -334,6 +400,10 @@ def _transcribe_long_conditioned(
         raise ValueError("overlap must be smaller than the chunk size")
     seek_by_ts = timestamps and timestamp_seek
     audio = np.asarray(audio, np.float32)
+    # openai's last_speech_timestamp: end of the last aligned word across
+    # windows — the "silence before" anchor for the hallucination skip.
+    last_speech_ts = 0.0
+    astd = cfg.prompt_ids(language, task, no_timestamps=True)
     seek = 0
     while seek < len(audio):
         chunk = audio[seek:seek + win]
@@ -381,7 +451,98 @@ def _transcribe_long_conditioned(
                         splits = splits[:li + 1]
                         kept_ids = [t for _, _, toks in splits for t in toks]
                         text = tokenizer.decode(kept_ids)
-        if not skipped:
+        # Combined segments+words mode (openai's word path always runs
+        # under the grammar): align the KEPT segments' text tokens, build
+        # global-clock segment dicts with words, then apply openai's
+        # word-level seek refinement and (optionally) the
+        # hallucination-silence skip.
+        drop_window = False
+        seg_dicts = None
+        if timestamps and word_timestamps and not skipped and kept_ids:
+            from sar_tpu.evaluation.hallucination import (get_end,
+                                                          is_segment_anomaly,
+                                                          next_words_segment)
+            seg_words = _window_segment_words(
+                params, feats, splits, cfg, tokenizer, align_prompt=astd,
+                lora=lora, lora_scale=lora_scale, chunk_len=len(chunk))
+            seg_dicts = []
+            prev_end = 0.0
+            for (t0, t1, toks), ws in zip(splits, seg_words):
+                s0 = prev_end if t0 is None else t0
+                s1 = max(s0, (len(chunk) / sr) if t1 is None else t1)
+                prev_end = s1
+                seg_dicts.append(
+                    {"start": off + s0, "end": off + s1,
+                     "words": [{**w, "start": round(w["start"] + off, 3),
+                                "end": round(w["end"] + off, 3)}
+                               for w in ws]})
+            ids_l = [int(t) for t in row["ids"]]
+            # openai's single_timestamp_ending: the decode ended on a lone
+            # timestamp (no closed tail pair) — the whole window advances.
+            single_ts_end = (len(ids_l) >= 2 and ids_l[-1] >= ts_begin
+                             and ids_l[-2] < ts_begin)
+            window_end = off + chunk_seconds
+            thr = hallucination_silence_threshold
+            if seek_by_ts and not single_ts_end:
+                # Word-level seek refinement: consume up to the last
+                # aligned word's end (a finer cut than the last closed
+                # segment); under the hallucination threshold, a remaining
+                # window shorter than thr is consumed whole instead.
+                lwe = get_end(seg_dicts)
+                if lwe is not None and lwe > off:
+                    if thr is not None and window_end - lwe <= thr:
+                        advance = max(len(chunk), 1)
+                    elif lwe - off >= 1.0:
+                        advance = min(int((lwe - off) * sr),
+                                      max(len(chunk), 1))
+            if thr is not None and seek_by_ts:
+                first = next_words_segment(seg_dicts)
+                if first is not None and is_segment_anomaly(first):
+                    # Leading hallucination after a silent gap: skip the
+                    # gap and re-decode from the suspect speech onset.
+                    gap = first["start"] - off
+                    if gap > thr:
+                        advance = int(gap * sr)
+                        drop_window = True
+                if not drop_window:
+                    # A hallucinated segment surrounded by silence (or by
+                    # more hallucinations): emit everything before it,
+                    # then seek to its start.
+                    hal_last_end = last_speech_ts
+                    cut = None
+                    for si, seg in enumerate(seg_dicts):
+                        if not seg["words"]:
+                            continue
+                        if is_segment_anomaly(seg):
+                            nxt = next_words_segment(seg_dicts[si + 1:])
+                            nxt_start = (nxt["words"][0]["start"] if nxt
+                                         else off + len(chunk) / sr)
+                            silence_before = (
+                                seg["start"] - hal_last_end > thr
+                                or seg["start"] < thr
+                                or seg["start"] - off < 2.0)
+                            silence_after = (
+                                nxt_start - seg["end"] > thr
+                                or is_segment_anomaly(nxt)
+                                or window_end - seg["end"] < 2.0)
+                            if silence_before and silence_after:
+                                target = max(off + 1.0, seg["start"])
+                                if len(audio) / sr - seg["end"] < thr:
+                                    target = len(audio) / sr
+                                advance = int(round((target - off) * sr))
+                                cut = si
+                                break
+                        hal_last_end = seg["end"]
+                    if cut is not None:
+                        seg_dicts = seg_dicts[:cut]
+                        splits = splits[:cut]
+                        kept_ids = [t for _, _, toks in splits for t in toks]
+                        text = tokenizer.decode(kept_ids)
+            if not drop_window:
+                wend = [w["end"] for s in seg_dicts for w in s["words"]]
+                if wend:
+                    last_speech_ts = wend[-1]
+        if not skipped and not drop_window:
             texts.append(text)
             if timestamps:
                 for t0, t1, toks in splits:
@@ -391,6 +552,8 @@ def _transcribe_long_conditioned(
                             None if t0 is None else round(t0 + off, 2),
                             None if t1 is None else round(t1 + off, 2),
                             seg_text))
+                if seg_dicts is not None:
+                    words.extend(w for s in seg_dicts for w in s["words"])
             elif word_timestamps and row["ids"]:
                 from sar_tpu.decode.align import align_words
                 # openai aligns WITHOUT the previous-text context (its
@@ -410,8 +573,9 @@ def _transcribe_long_conditioned(
                               "probability": w["probability"]}
                              for w in aligned)
         # openai's prompt-reset rule: sampled-at-high-temperature windows
-        # poison the context; skipped (silent) windows contribute nothing.
-        if condition:
+        # poison the context; skipped (silent) and hallucination-dropped
+        # windows contribute nothing (openai `continue`s past the update).
+        if condition and not drop_window:
             if row["temperature"] > 0.5:
                 ctx = []
             elif not skipped:
@@ -420,10 +584,12 @@ def _transcribe_long_conditioned(
                     new = [t for t in new if t < ts_begin]
                 ctx.extend(int(t) for t in new)
                 ctx = ctx[-C:] if C else []
-        else:
+        elif not condition:
             ctx = []        # initial_prompt conditions the FIRST window only
         seek += max(int(advance), 1)
     text = " ".join(t.strip() for t in texts if t.strip())
+    if word_timestamps and timestamps:
+        return text, segments, words
     if word_timestamps:
         return text, words
     if timestamps:

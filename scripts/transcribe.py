@@ -71,7 +71,15 @@ def parse_args(argv=None):
     p.add_argument("--word_timestamps", action="store_true",
                    help="Per-word start/end times via cross-attention DTW "
                         "alignment (openai add_word_timestamps parity); "
-                        "prints '[start -> end] word' lines")
+                        "prints '[start -> end] word' lines. Combined with "
+                        "--timestamps (long-form only): segments AND words "
+                        "(openai's output shape)")
+    p.add_argument("--hallucination_silence_threshold", type=float,
+                   default=None,
+                   help="Seconds of silence to skip around a suspected "
+                        "hallucinated segment (openai's heuristic; implies "
+                        "--timestamps --word_timestamps and the sequential "
+                        "long-form loop)")
     p.add_argument("--fallback", action="store_true",
                    help="openai-style temperature fallback: greedy first, "
                         "resample at rising temperatures while the result "
@@ -132,9 +140,10 @@ def _run_long(audio, transcribe_long, cfg, params, tokenizer, language,
                            overlap_seconds=args.overlap_seconds,
                            lora=lora, lora_scale=lora_scale,
                            fallback=args.fallback,
-                           word_timestamps=(args.word_timestamps
-                                            and not args.timestamps),
+                           word_timestamps=args.word_timestamps,
                            timestamps=args.timestamps,
+                           hallucination_silence_threshold=(
+                               args.hallucination_silence_threshold),
                            condition_on_previous_text=(
                                args.condition_on_previous_text),
                            initial_prompt=args.initial_prompt,
@@ -195,7 +204,15 @@ def main(argv=None):
             logger.info("detected language: %s (p=%.2f)", language,
                         float(probs[0, int(idx[0])]))
         conditioned = (args.condition_on_previous_text
-                       or args.initial_prompt is not None)
+                       or args.initial_prompt is not None
+                       or args.hallucination_silence_threshold is not None)
+        if args.hallucination_silence_threshold is not None:
+            # openai's heuristics run on per-segment words inside the seek
+            # loop — they imply both timestamp modes.
+            if not (args.timestamps and args.word_timestamps):
+                logger.info("--hallucination_silence_threshold implies "
+                            "--timestamps and --word_timestamps; enabling")
+            args.timestamps = args.word_timestamps = True
         clips = None
         if args.clip_timestamps:
             vals = [float(v) for v in args.clip_timestamps.split(",") if v]
@@ -245,10 +262,6 @@ def main(argv=None):
             if args.num_beams > 1:
                 logger.warning("--num_beams only applies to single-window "
                                "decoding; long-form uses greedy")
-            if args.timestamps and args.word_timestamps:
-                logger.warning("--timestamps and --word_timestamps are "
-                               "exclusive; long-form emits segments "
-                               "(--word_timestamps ignored)")
         else:
             if (args.fallback or args.temperature > 0) and (
                     args.num_beams > 1 or args.timestamps
@@ -312,39 +325,40 @@ def main(argv=None):
                 out = _run_long(piece, transcribe_long, cfg, params,
                                 tokenizer, language, lora, lora_scale,
                                 args, temps)
-                if args.word_timestamps and not args.timestamps:
+                if args.word_timestamps and args.timestamps:
+                    t, segs, ws = out
+                elif args.word_timestamps:
                     t, ws = out
+                    segs = None
+                elif args.timestamps:
+                    t, segs = out
+                    ws = None
+                else:
+                    t, segs, ws = out, None, None
+                if ws is not None:
                     words_acc.extend({**w, "start": round(w["start"] + c0, 3),
                                       "end": round(w["end"] + c0, 3)}
                                      for w in ws)
-                elif args.timestamps:
-                    t, segs = out
+                if segs is not None:
                     segs_acc.extend((None if a is None else round(a + c0, 2),
                                      None if z is None else round(z + c0, 2),
                                      txt) for a, z, txt in segs)
-                else:
-                    t = out
                 texts_acc.append(t)
             text = " ".join(t.strip() for t in texts_acc if t.strip())
-            out = ((text, words_acc)
-                   if args.word_timestamps and not args.timestamps
-                   else (text, segs_acc) if args.timestamps else text)
-            if args.word_timestamps and not args.timestamps:
-                text, long_words = out
-                file_words = long_words
-                print(text)
-                for w in long_words:
-                    print(f"[{w['start']:7.2f} -> {w['end']:7.2f}] "
-                          f"{w['word']}")
-            elif args.timestamps:
-                text, segments = out
-                file_segments = segments
-                for s0, s1, seg_text in segments:
+            if args.timestamps:
+                file_segments = segs_acc
+                for s0, s1, seg_text in segs_acc:
                     a = "?" if s0 is None else f"{s0:7.2f}"
                     z = "?" if s1 is None else f"{s1:7.2f}"
                     print(f"[{a} -> {z}] {seg_text}")
-            else:
-                text = out
+            if args.word_timestamps:
+                file_words = words_acc
+                if not args.timestamps:
+                    print(text)
+                for w in words_acc:
+                    print(f"[{w['start']:7.2f} -> {w['end']:7.2f}] "
+                          f"{w['word']}")
+            if not args.timestamps and not args.word_timestamps:
                 print(text)
         elif args.num_beams > 1 or args.timestamps or args.word_timestamps:
             from sar_tpu.decode import transcribe_tokens

@@ -69,10 +69,22 @@ def test_transcribe_long_segment_timestamps(rng):
         assert seg_text.strip()
         if t0 is not None and t1 is not None:
             assert 0.0 <= t0 <= t1 <= 2.0
+    # Combined segments+words mode (openai's output shape): 3-tuple, words
+    # on the global clock with probabilities.
+    text2, segments2, words2 = transcribe_long(
+        audio, cfg, params, CharTokenizer(cfg), language="english",
+        max_new_tokens=8, chunk_seconds=0.6, batch_size=2,
+        timestamps=True, word_timestamps=True)
+    assert text2 == text
+    assert [s[2] for s in segments2] == [s[2] for s in segments]
+    for w in words2:
+        assert 0.0 <= w["start"] <= w["end"] <= 2.0
+        assert "probability" in w
+    # hallucination_silence_threshold demands both timestamp modes.
     with pytest.raises(ValueError):
         transcribe_long(audio, cfg, params, CharTokenizer(cfg),
                         chunk_seconds=0.6, timestamps=True,
-                        word_timestamps=True)
+                        hallucination_silence_threshold=2.0)
 
 
 def _world():

@@ -59,6 +59,25 @@ def test_transcribe_longform_flag(wav):
     assert isinstance(results[wav], str)
 
 
+def test_transcribe_longform_combined_and_hallucination(wav):
+    """--timestamps + --word_timestamps together (long-form) run the
+    combined segments+words path; --hallucination_silence_threshold implies
+    both and routes through the sequential seek loop."""
+    import transcribe
+    results = transcribe.main([wav, "--model", "whisper-test",
+                               "--language", "english",
+                               "--max_new_tokens", "8", "--longform",
+                               "--chunk_seconds", "1.0",
+                               "--timestamps", "--word_timestamps"])
+    assert isinstance(results[wav], str)
+    results2 = transcribe.main([wav, "--model", "whisper-test",
+                                "--language", "english",
+                                "--max_new_tokens", "8", "--longform",
+                                "--chunk_seconds", "1.0",
+                                "--hallucination_silence_threshold", "0.5"])
+    assert isinstance(results2[wav], str)
+
+
 def test_transcribe_streaming(wav, capsys):
     import transcribe
     results = transcribe.main([wav, "--model", "whisper-test",
