@@ -58,6 +58,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_group: int,
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (bq, group), 1) // hd
 
     og = None
+    inv = None
     for j in range(heads_per_group):
         qj = jnp.where(lane_head == j, qg, jnp.bfloat16(0))
         s = jax.lax.dot_general(qj, kg, (((1,), (1,)), ((), ())),
@@ -65,11 +66,18 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_group: int,
         s = jnp.where(colmask, s, NEG)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=1, keepdims=True)).astype(qg.dtype)
-        oj = jax.lax.dot_general(p, vg, (((1,), (0,)), ((), ())),
+        # Softmax normalization is DEFERRED past the PV dot: dividing the
+        # [bq, T] probability matrix costs bq*T VPU divides per head, while
+        # scaling the [bq, group] output costs bq*group multiplies — ~T/hd x
+        # fewer element ops for mathematically identical results (the dot
+        # distributes over the scalar row factor).
+        invj = 1.0 / jnp.sum(p, axis=1, keepdims=True)     # [bq, 1]
+        oj = jax.lax.dot_general(p.astype(qg.dtype), vg,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         og = oj if og is None else jnp.where(lane_head == j, oj, og)
-    o_ref[0] = og.astype(o_ref.dtype)
+        inv = invj if inv is None else jnp.where(lane_head == j, invj, inv)
+    o_ref[0] = (og * inv).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("n_heads", "t_valid",
