@@ -34,6 +34,12 @@ BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 # weights — see scripts/benchmark.py's gating harness). Default stays the
 # exact bf16-compute int8-KV path.
 SCORES_INT8 = os.environ.get("BENCH_SCORES", "") == "int8"
+# BENCH_KV=int4 opts into the nibble-packed int4 KV cache (quarter the
+# bf16 traffic, coarser quantization — opt-in like scores_int8; the two
+# do not compose). Default int8.
+KV_INT4 = os.environ.get("BENCH_KV", "int8") == "int4"
+if KV_INT4 and SCORES_INT8:
+    raise SystemExit("BENCH_KV=int4 does not compose with BENCH_SCORES=int8")
 # Decode-loop segmentation (static self-KV window growth); 0 = one loop.
 SEGMENT = int(os.environ.get("BENCH_SEGMENT", "32"))
 MAX_NEW_TOKENS = 256
@@ -54,13 +60,17 @@ def decode_bytes_per_step(params, cache, total, kv_int8):
         H = cache.cross_k_scale.shape[2]
         hd = D // H
     else:
+        # Under int4 the trailing axis is the PACKED hd//2 byte count, so
+        # `hd * 1 byte` is already the true traffic; int8/bf16 unpacked.
         L, B, H, S, hd = cache.cross_k.shape
-    kv_bytes = 1 if kv_int8 else 2
+    kv_bytes = 1 if (kv_int8 or KV_INT4) else 2
+    quant = kv_int8 or KV_INT4
     cross = 2 * L * B * H * S * hd * kv_bytes
-    if kv_int8:
+    if quant:
         cross += 2 * L * B * H * S * 4                    # fp32 row scales
-    self_sz = 2 * L * B * H * (total / 2) * hd * kv_bytes
-    if kv_int8:
+    self_hd = cache.self_k.shape[-1]
+    self_sz = 2 * L * B * H * (total / 2) * self_hd * kv_bytes
+    if quant:
         self_sz += 2 * L * B * H * (total / 2) * 4
     dec_params = sum(
         x.size * x.dtype.itemsize for x in jax.tree.leaves(params["decoder"]))
@@ -127,7 +137,10 @@ def main():
         # 99.97% token agreement vs bf16 measured on random weights (worst
         # case for tie-breaking).
         return whisper.init_cache(params, enc, cfg, max_len=total,
-                                  cross_kv_int8=True, self_kv_int8=True,
+                                  cross_kv_int8=not KV_INT4,
+                                  self_kv_int8=not KV_INT4,
+                                  cross_kv_int4=KV_INT4,
+                                  self_kv_int4=KV_INT4,
                                   head_minor=SCORES_INT8)
 
     # The cache is donated to the decode loop: the prep output and the loop's
@@ -194,7 +207,8 @@ def main():
     hbm_gbps = bytes_per_step * steps / decode_s / 1e9
     print(json.dumps({
         "metric": f"{MODEL} greedy transcription RTFx "
-                  f"({'s8-MXU attention' if SCORES_INT8 else 'bf16'} + int8 "
+                  f"({'s8-MXU attention' if SCORES_INT8 else 'bf16'} + "
+                  f"{'int4' if KV_INT4 else 'int8'} "
                   f"KV cache, batch {BATCH}, 256 new tokens, "
                   f"mel+encode+decode end-to-end)",
         "value": round(rtfx, 2),

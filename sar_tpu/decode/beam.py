@@ -61,6 +61,8 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 lora_scale: float = 1.0,
                 cross_kv_int8: bool = False,
                 self_kv_int8: bool = False,
+                cross_kv_int4: bool = False,
+                self_kv_int4: bool = False,
                 scores_int8: bool = False,
                 suppress_ids: tuple[int, ...] = (),
                 begin_suppress_ids: tuple[int, ...] = (),
@@ -107,6 +109,8 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
+                               cross_kv_int4=cross_kv_int4,
+                               self_kv_int4=self_kv_int4,
                                self_batch=B * K, head_minor=head_minor)
     # The (large, loop-invariant) cross K/V are closed over; only the
     # mutable self buffers ride the while carry (segment-sized when

@@ -30,6 +30,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   lora_scale: float = 1.0,
                   cross_kv_int8: bool = False,
                   self_kv_int8: bool = False,
+                  cross_kv_int4: bool = False,
+                  self_kv_int4: bool = False,
                   scores_int8: bool = False,
                   suppress_ids: tuple[int, ...] = (),
                   begin_suppress_ids: tuple[int, ...] = (),
@@ -62,6 +64,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
+                               cross_kv_int4=cross_kv_int4,
+                               self_kv_int4=self_kv_int4,
                                # head-minor slabs feed the fused s8 kernel
                                head_minor=scores_int8)
     return greedy_decode_from_cache(

@@ -39,7 +39,8 @@ class ASREvaluator:
                  lora_scale: float = 1.0, kv_int8: bool = True, mesh=None,
                  flash: str | bool = "auto", scores_int8: bool = False,
                  prompt_tokens=None, fallback: bool = False,
-                 task: str = "transcribe", best_of: int = 1):
+                 task: str = "transcribe", best_of: int = 1,
+                 kv_int4: bool = False):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -48,8 +49,15 @@ class ASREvaluator:
         self.num_beams = num_beams
         self.lora = lora
         self.lora_scale = lora_scale
-        self.kv_int8 = kv_int8
-        if scores_int8 and not kv_int8:
+        # kv_int4 (nibble-packed, quantize_kv4) supersedes kv_int8 when set:
+        # it is the --kv_cache int4 opt-in — halves the dominant decode
+        # traffic again at coarser (15-level) quantization.
+        self.kv_int4 = kv_int4
+        self.kv_int8 = kv_int8 and not kv_int4
+        if scores_int8 and kv_int4:
+            raise ValueError("scores_int8 (the s8-MXU path) does not compose "
+                             "with an int4-packed KV cache")
+        if scores_int8 and not self.kv_int8:
             raise ValueError("scores_int8 requires kv_int8=True")
         if scores_int8 and num_beams > 1:
             # A beam-folded s8 kernel exists (ops/decode_cross.py
@@ -115,6 +123,7 @@ class ASREvaluator:
         total = min(int(self._prompt.shape[0]) + mnt, cfg.max_target_positions)
 
         kv_int8 = self.kv_int8
+        kv_int4 = self.kv_int4
         flash = self.flash
         scores_int8 = self.scores_int8
 
@@ -125,6 +134,8 @@ class ASREvaluator:
                                       lora=lora, lora_scale=scale,
                                       cross_kv_int8=kv_int8,
                                       self_kv_int8=kv_int8,
+                                      cross_kv_int4=kv_int4,
+                                      self_kv_int4=kv_int4,
                                       # head-minor slabs feed the fused
                                       # s8 kernel (greedy only)
                                       head_minor=scores_int8)
@@ -147,6 +158,7 @@ class ASREvaluator:
             return beam_decode(params, enc, cfg, prompt, num_beams=beams,
                                max_new_tokens=mnt, lora=lora, lora_scale=scale,
                                cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                               cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
                                scores_int8=scores_int8)
 
         if self.fallback:

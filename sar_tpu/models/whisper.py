@@ -607,6 +607,38 @@ def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def quantize_kv4(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int4, nibble-packed: x [.., S, hd] ->
+    ([.., S, hd//2] int8 carrying two int4 lanes per byte, [.., S] scales).
+
+    Packing is by contiguous HALVES of the row, not interleaved pairs: the
+    low nibble of byte j holds lane j (x[..., :hd//2]) and the high nibble
+    holds lane hd//2+j — so unpacking yields the two half-rows directly and
+    an attention contraction splits into two half-width dots with NO lane
+    shuffle (sum over d commutes with any fixed permutation). Native
+    jnp.int4 is not used: S4 arrays cannot cross jit boundaries in this
+    JAX/libtpu build and report unpacked nbytes (no traffic win)."""
+    hd = x.shape[-1]
+    if hd % 2:
+        raise ValueError("int4 packing needs an even head_dim")
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -7, 7).astype(jnp.int8)
+    lo = q[..., : hd // 2] & jnp.int8(15)        # two's-complement low nibble
+    hi = q[..., hd // 2:] << jnp.int8(4)
+    return (hi | lo), scale
+
+
+def unpack_kv4(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of quantize_kv4's packing: [.., hd//2] packed bytes ->
+    (low-half lanes, high-half lanes), both int8 in [-7, 7]. Shifts on int8
+    are arithmetic, so `(p << 4) >> 4` sign-extends the low nibble."""
+    lo = (p << jnp.int8(4)) >> jnp.int8(4)
+    hi = p >> jnp.int8(4)
+    return lo, hi
+
+
 def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                max_len: int, *, lora: Params | None = None,
                adapter_idx: jnp.ndarray | None = None,
@@ -614,7 +646,9 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                cross_kv_int8: bool = False,
                self_kv_int8: bool = False,
                self_batch: int | None = None,
-               head_minor: bool = False) -> DecodeCache:
+               head_minor: bool = False,
+               cross_kv_int4: bool = False,
+               self_kv_int4: bool = False) -> DecodeCache:
     """Precompute cross-attention K/V once per utterance and allocate the
     self-attention cache. The reference recomputes encoder states inside every
     generate call per sample (adapter_router.py:744-750); here they are
@@ -623,7 +657,14 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     `self_batch` decouples the self-cache batch from the cross-KV batch:
     beam search keeps cross K/V at ONE copy per sample (shared across the
     sample's beams via `decode_step(beam_width=K)`) while the self cache
-    holds B*K rows."""
+    holds B*K rows.
+
+    `cross_kv_int4` / `self_kv_int4` (opt-in, implies the corresponding
+    int8 flag's role): nibble-packed int4 values (quantize_kv4) — the
+    packed axes are hd//2 wide, which is how decode_step tells the paths
+    apart. Halves the quantized-KV HBM traffic again at ~2x the
+    quantization error of int8 (15 levels/row); gated like scores_int8 on
+    the agreement harness, never a silent default."""
     dec = params["decoder"]
     B, S = enc_out.shape[0], enc_out.shape[1]
     SB = self_batch if self_batch is not None else B
@@ -645,6 +686,10 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
                           vq.reshape(B, S, H * hd), vs.transpose(0, 2, 1))
         k = split_heads(k, H)
         v = split_heads(v, H)
+        if cross_kv_int4:
+            kq, ks = quantize_kv4(k)
+            vq, vs = quantize_kv4(v)
+            return None, (kq, ks, vq, vs)
         if cross_kv_int8:
             kq, ks = quantize_kv(k)
             vq, vs = quantize_kv(v)
@@ -655,8 +700,11 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         raise ValueError("head_minor requires an int8 KV cache "
                          "(cross_kv_int8 and self_kv_int8): it is the fused "
                          "s8-kernel layout")
+    if head_minor and (cross_kv_int4 or self_kv_int4):
+        raise ValueError("head_minor (the fused s8 kernel layout) does not "
+                         "support int4 packing")
     dec_lora = lora.get("decoder") if lora else None
-    if cross_kv_int8:
+    if cross_kv_int8 or cross_kv_int4:
         _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
     else:
         _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
@@ -669,20 +717,22 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
             cks = jnp.pad(cks, [(0, 0), (0, 0), (0, 0), (0, pad)])
             cvs = jnp.pad(cvs, [(0, 0), (0, 0), (0, 0), (0, pad)])
     L = ck.shape[0]
-    self_dtype = jnp.int8 if self_kv_int8 else dtype
+    self_quant = self_kv_int8 or self_kv_int4
+    self_hd = hd // 2 if self_kv_int4 else hd
+    self_dtype = jnp.int8 if self_quant else dtype
     # The self cache stays CLASSIC even under head_minor: a fused head-minor
     # self kernel (ops/decode_self.py) measured per-call-overhead-bound —
     # its slabs are ~6x smaller than the cross slabs, so the pallas grid
     # overhead exceeds the dequant savings (1.54 ms/call vs the jnp path's
     # ~0.17 ms/layer at whisper-small B=128).
     return DecodeCache(
-        self_k=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
-        self_v=jnp.zeros((L, SB, H, max_len, hd), self_dtype),
+        self_k=jnp.zeros((L, SB, H, max_len, self_hd), self_dtype),
+        self_v=jnp.zeros((L, SB, H, max_len, self_hd), self_dtype),
         cross_k=ck, cross_v=cv, cross_k_scale=cks, cross_v_scale=cvs,
         self_k_scale=(jnp.zeros((L, SB, H, max_len), jnp.float32)
-                      if self_kv_int8 else None),
+                      if self_quant else None),
         self_v_scale=(jnp.zeros((L, SB, H, max_len), jnp.float32)
-                      if self_kv_int8 else None))
+                      if self_quant else None))
 
 
 def _attention_int8(q, kq, ks, vq, vs, mask=None):
@@ -726,6 +776,37 @@ def _attention_int8_mxu(q, kq, ks, vq, vs, mask=None):
     out = jnp.einsum("bhqs,bhsd->bhqd", pq, vq,
                      preferred_element_type=jnp.int32).astype(jnp.float32)
     return (out * ps[..., None]).astype(q.dtype)
+
+
+def _attention_int4(q, kp, ks, vp, vs, mask=None):
+    """int4 twin of _attention_int8: kq/vq arrive nibble-PACKED
+    [B,H,S,hd//2] (quantize_kv4 layout), ks/vs [B,H,S] fp32.
+
+    Each contraction splits into two half-width dots over the unpacked
+    nibble planes — no lane interleave, so XLA fuses the unpack shifts into
+    the operand stream and HBM traffic stays at the packed 0.5 byte/elem:
+      scores = q_lo . k_lo + q_hi . k_hi        (halves of the d axis)
+      out    = concat(p . v_lo, p . v_hi)       (halves of the output)
+    Same scale-factored math as the int8 path otherwise (per-row scales
+    multiply outside the dots)."""
+    dtype = q.dtype
+    hd2 = kp.shape[-1]
+    kl, kh = unpack_kv4(kp)
+    scores = (jnp.einsum("bhqd,bhsd->bhqs", q[..., :hd2], kl.astype(dtype),
+                         preferred_element_type=jnp.float32)
+              + jnp.einsum("bhqd,bhsd->bhqs", q[..., hd2:], kh.astype(dtype),
+                           preferred_element_type=jnp.float32))
+    scores = scores * ks[:, :, None, :]
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs[:, :, None, :]).astype(dtype)
+    vl, vh = unpack_kv4(vp)
+    ol = jnp.einsum("bhqs,bhsd->bhqd", pw, vl.astype(dtype),
+                    preferred_element_type=jnp.float32)
+    oh = jnp.einsum("bhqs,bhsd->bhqd", pw, vh.astype(dtype),
+                    preferred_element_type=jnp.float32)
+    return jnp.concatenate([ol, oh], axis=-1).astype(dtype)
 
 
 def _split_sl(x, h):
@@ -837,13 +918,21 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     dec = params["decoder"]
     B = tokens.shape[0]
     H = cfg.decoder_heads
+    hd_full = cfg.d_model // H
     self_int8 = cache.self_k_scale is not None
+    # int4 caches are told apart by their nibble-packed hd//2 value axis.
+    self_int4 = self_int8 and cache.self_k.shape[-1] == hd_full // 2
+    cross_int4 = (cache.cross_k_scale is not None and cache.cross_k.ndim == 5
+                  and cache.cross_k.shape[-1] == hd_full // 2)
     dtype = (params["decoder"]["token_embed"].dtype if self_int8
              else cache.self_k.dtype)
     max_len = cache.self_k.shape[3]
     if scores_int8 and (not self_int8 or cache.cross_k_scale is None):
         raise ValueError("scores_int8 requires an int8 KV cache "
                          "(cross_kv_int8=True and self_kv_int8=True)")
+    if scores_int8 and (self_int4 or cross_int4):
+        raise ValueError("scores_int8 (the s8-MXU path) does not compose "
+                         "with int4-packed KV")
     attn_int8 = _attention_int8_mxu if scores_int8 else _attention_int8
 
     x = dec["token_embed"][tokens][:, None, :].astype(dtype)      # [B, 1, d]
@@ -873,14 +962,16 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
         vf = _proj(h, p["self_v"], lo.get("self_v"), ctx, 2)
         if self_int8:
             k, v = split_heads(kf, H), split_heads(vf, H)
-            kq, ks = quantize_kv(k)
-            vq, vs = quantize_kv(v)
+            quant = quantize_kv4 if self_int4 else quantize_kv
+            kq, ks = quant(k)
+            vq, vs = quant(v)
             sk_all = jax.lax.dynamic_update_slice(sk_all, kq[None], (l, 0, 0, pos, 0))
             sv_all = jax.lax.dynamic_update_slice(sv_all, vq[None], (l, 0, 0, pos, 0))
             sks_all = jax.lax.dynamic_update_slice(sks_all, ks[None], (l, 0, 0, pos))
             svs_all = jax.lax.dynamic_update_slice(svs_all, vs[None], (l, 0, 0, pos))
-            a = attn_int8(split_heads(q, H), sk_all[l], sks_all[l],
-                          sv_all[l], svs_all[l], mask=pos_mask)
+            self_fn = _attention_int4 if self_int4 else attn_int8
+            a = self_fn(split_heads(q, H), sk_all[l], sks_all[l],
+                        sv_all[l], svs_all[l], mask=pos_mask)
             a_self = merge_heads(a)
         else:
             k, v = split_heads(kf, H), split_heads(vf, H)
@@ -937,6 +1028,10 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                             else _cross_attention_int8)
                 a = cross_fn(qh, cache.cross_k[l], cache.cross_k_scale[l],
                              cache.cross_v[l], cache.cross_v_scale[l])
+            elif cross_int4:
+                a = _attention_int4(qh, cache.cross_k[l],
+                                    cache.cross_k_scale[l],
+                                    cache.cross_v[l], cache.cross_v_scale[l])
             elif cache.cross_k_scale is not None:
                 a = attn_int8(qh, cache.cross_k[l], cache.cross_k_scale[l],
                               cache.cross_v[l], cache.cross_v_scale[l])

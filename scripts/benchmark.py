@@ -26,7 +26,7 @@ def parse_args(argv=None):
     p.add_argument("--batch_sizes", type=int, nargs="+", default=[32, 128])
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--kv_cache", type=str, nargs="+", default=["int8"],
-                   choices=["int8", "bf16"])
+                   choices=["int8", "bf16", "int4"])
     p.add_argument("--attn_scores", type=str, default="bf16",
                    choices=["bf16", "int8"],
                    help="int8 runs BOTH attention matmuls on the int8 MXU "
@@ -157,7 +157,7 @@ def run_serving(cfg, params, batch, max_new_tokens, n_requests,
             "compile_s": round(compile_s, 1)}
 
 
-def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
+def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
                scores_int8=False, num_beams=1):
     import jax
     import jax.numpy as jnp
@@ -172,6 +172,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         print("warning: --attn_scores int8 is unsupported under a mesh; "
               "using bf16 scores", file=sys.stderr)
         scores_int8 = False
+    kv_int8, kv_int4 = kv == "int8", kv == "int4"
     prompt = jnp.asarray(cfg.prompt_ids("hindi"), jnp.int32)
     total = min(len(cfg.prompt_ids("hindi")) + max_new_tokens,
                 cfg.max_target_positions)
@@ -197,6 +198,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         enc = whisper.encode(params, feats, cfg, flash=flash)
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                                  cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
                                   head_minor=head_minor)
 
     @jax.jit
@@ -227,6 +229,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         return beam_decode(params, enc, cfg, prompt, num_beams=num_beams,
                            max_new_tokens=max_new_tokens,
                            cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                           cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
                            scores_int8=scores_int8)
 
     # The timed callables are AOT-compiled (lower().compile()): jax 0.9's
@@ -262,7 +265,7 @@ def run_config(cfg, params, batch, max_new_tokens, kv_int8, iters, mesh=None,
         out = run()
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    row = {"batch": batch, "kv": "int8" if kv_int8 else "bf16",
+    row = {"batch": batch, "kv": kv,
            "attn_scores": "int8" if scores_int8 else "bf16",
            "num_beams": num_beams,
            "seconds_per_batch": round(dt, 4),
@@ -343,7 +346,7 @@ def main(argv=None):
             for b in args.batch_sizes:
                 try:
                     r = run_config(cfg, params, b, args.max_new_tokens,
-                                   kv == "int8", args.iters, mesh=mesh,
+                                   kv, args.iters, mesh=mesh,
                                    scores_int8=args.attn_scores == "int8",
                                    num_beams=nb)
                 except Exception as e:

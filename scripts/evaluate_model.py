@@ -44,9 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=["no", "fp16", "bf16"])
     p.add_argument("--kv_cache", type=str, default="int8",
-                   choices=["int8", "bf16"],
-                   help="Cross-attention KV cache precision (int8 halves "
-                        "decode memory traffic; bf16 for exact parity)")
+                   choices=["int8", "bf16", "int4"],
+                   help="KV cache precision (int8 halves decode memory "
+                        "traffic; int4 nibble-packs it to a quarter, "
+                        "coarser quantization — opt-in; bf16 for exact "
+                        "parity)")
     p.add_argument("--attn_scores", type=str, default="bf16",
                    choices=["bf16", "int8"],
                    help="int8 = s8-MXU attention (fused Pallas kernel on "
@@ -137,7 +139,8 @@ def main(argv=None):
                              max_new_tokens=args.max_new_tokens,
                              num_beams=args.num_beams, lora=lora,
                              lora_scale=lora_scale,
-                             kv_int8=args.kv_cache == "int8", mesh=mesh,
+                             kv_int8=args.kv_cache == "int8",
+                             kv_int4=args.kv_cache == "int4", mesh=mesh,
                              scores_int8=args.attn_scores == "int8",
                              fallback=args.fallback, task=args.task,
                              best_of=args.best_of)

@@ -19,6 +19,16 @@ def test_benchmark_greedy_and_beam_rows():
     assert all(r["rtfx"] > 0 for r in rows)
 
 
+def test_benchmark_int4_kv_row():
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4",
+        "--kv_cache", "int4", "--iters", "1"])
+    (row,) = report["results"]
+    assert row["kv"] == "int4" and row["rtfx"] > 0
+
+
 def test_benchmark_scores_int8_row_reports_agreement():
     import benchmark
     report = benchmark.main([
