@@ -52,6 +52,16 @@ def parse_args(argv=None):
                         "per-update latency + real-time factor at batch 1")
     p.add_argument("--streaming_chunk_seconds", type=float, default=1.0,
                    help="Audio fed per streaming update")
+    p.add_argument("--train", action="store_true",
+                   help="Benchmark the LoRA train step (forward + backward + "
+                        "AdamW, gradient accumulation) in examples/sec — the "
+                        "reference's Phase-1 workload "
+                        "(/root/reference/src/training/trainer.py:203-312)")
+    p.add_argument("--train_accum", type=int, default=4,
+                   help="Gradient accumulation microbatches per step")
+    p.add_argument("--train_label_len", type=int, default=224,
+                   help="Label length per example (448 max positions)")
+    p.add_argument("--train_lora_rank", type=int, default=16)
     p.add_argument("--serving", action="store_true",
                    help="Benchmark the micro-batching serving layer at "
                         "saturation (concurrent clients, end-to-end "
@@ -155,6 +165,51 @@ def run_serving(cfg, params, batch, max_new_tokens, n_requests,
             "latency_ms_p50": st.get("latency_ms_p50"),
             "latency_ms_p95": st.get("latency_ms_p95"),
             "compile_s": round(compile_s, 1)}
+
+
+def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
+              mesh=None):
+    """Steady-state LoRA train-step throughput: one donated jitted program
+    per step (accum microbatches scanned inside, AdamW + clip + schedule).
+    Weight values don't affect step time, so random init measures the same
+    program a real run executes. Mirrors the measured-by-hand round-2
+    numbers (PARITY.md: whisper-small B=16 x accum 4 = 37.3 ex/s)."""
+    import jax
+    import numpy as np
+
+    from sar_tpu.models import lora as lora_lib
+    from sar_tpu.training.trainer import ASRTrainer, TrainingArgs
+
+    lcfg = lora_lib.LoraConfig(r=lora_rank, alpha=2 * lora_rank)
+    bank = lora_lib.init_lora(jax.random.PRNGKey(0), cfg, lcfg)
+    targs = TrainingArgs(gradient_accumulation_steps=accum)
+    trainer = ASRTrainer(cfg, params, bank, lcfg, targs, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    mels = trainer._put(rng.standard_normal(
+        (accum, batch, cfg.num_mel_bins, cfg.num_audio_frames))
+        .astype(np.float32), 1)
+    labels = trainer._put(rng.integers(
+        0, cfg.vocab_size, (accum, batch, label_len)).astype(np.int32), 1)
+    ids = trainer._put(np.zeros((accum, batch), np.int32), 1)
+
+    def step(lora, opt_state):
+        trainer._rng, k = jax.random.split(trainer._rng)
+        return trainer._train_step(lora, opt_state, trainer.base_params,
+                                   mels, labels, ids, k)
+
+    # Warm/compile (the step donates lora/opt_state; rebind every call).
+    lora, opt_state, loss, _ = step(trainer.lora, trainer.opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lora, opt_state, loss, _ = step(lora, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return {"mode": "train", "batch": batch, "accum": accum,
+            "label_len": label_len, "lora_rank": lora_rank,
+            "s_per_step": round(dt, 4),
+            "examples_per_s": round(accum * batch / dt, 2)}
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
@@ -278,6 +333,22 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
         a = np.asarray(dec(params, prep(params, audio, True), True))
         b = np.asarray(dec(params, prep(params, audio, False), False))
         row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
+    if kv_int4 and num_beams == 1:
+        # int4 is coarser (15 levels/row vs int8's 255): record token
+        # agreement vs the default int8-KV decode so the quantization cost
+        # is visible next to the traffic win (promotion evidence, like the
+        # scores_int8 harness above).
+        @jax.jit
+        def prep8(params, audio):
+            feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
+                                                dtype=jnp.bfloat16)
+            feats = feats[:, :, :cfg.num_audio_frames]
+            enc = whisper.encode(params, feats, cfg, flash=flash)
+            return whisper.init_cache(params, enc, cfg, max_len=total,
+                                      cross_kv_int8=True, self_kv_int8=True)
+        a = np.asarray(dec(params, prep(params, audio, False), False))
+        b = np.asarray(dec(params, prep8(params, audio), False))
+        row["token_agreement_vs_int8"] = round(float((a == b).mean()), 4)
     return row
 
 
@@ -308,6 +379,19 @@ def main(argv=None):
         params = shard_params(params, mesh)
         logger.info("benchmarking on mesh %s", mesh)
     rows = []
+    if args.train:
+        for b in args.batch_sizes:
+            r = run_train(cfg, params, b, args.train_accum,
+                          args.train_label_len, args.train_lora_rank,
+                          args.iters, mesh=mesh)
+            rows.append(r)
+            print(f"train batch={b} x accum={r['accum']}: "
+                  f"{r['s_per_step']} s/step = {r['examples_per_s']} ex/s "
+                  f"(labels {r['label_len']}, r{r['lora_rank']})")
+        report = {"model": args.model, "results": rows}
+        if args.output:
+            Path(args.output).write_text(json.dumps(report, indent=2))
+        return report
     if args.serving:
         for b in args.batch_sizes:
             r = run_serving(cfg, params, b, args.max_new_tokens,
@@ -357,7 +441,7 @@ def main(argv=None):
                 print(f"{r['batch']:>6} {r['kv']:>5} {r['attn_scores']:>7} "
                       f"{r['num_beams']:>6} {r['seconds_per_batch']:>9} "
                       f"{r['rtfx']:>8} {r['ms_per_token']:>8} "
-                      f"{r.get('token_agreement_vs_bf16', '-'):>7}")
+                      f"{r.get('token_agreement_vs_bf16', r.get('token_agreement_vs_int8', '-')):>7}")
     report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
               "results": rows}
     if args.output:

@@ -27,6 +27,7 @@ def test_benchmark_int4_kv_row():
         "--kv_cache", "int4", "--iters", "1"])
     (row,) = report["results"]
     assert row["kv"] == "int4" and row["rtfx"] > 0
+    assert 0.0 <= row["token_agreement_vs_int8"] <= 1.0
 
 
 def test_benchmark_scores_int8_row_reports_agreement():
@@ -52,3 +53,15 @@ def test_benchmark_serving_row():
     assert row["requests_per_s"] > 0
     assert row["batches"] >= 3          # 5 requests at batch 2
     assert row["latency_ms_p50"] > 0
+
+
+def test_benchmark_train_row():
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--train", "--train_accum", "2",
+        "--train_label_len", "8", "--train_lora_rank", "4", "--iters", "1"])
+    (row,) = report["results"]
+    assert row["mode"] == "train"
+    assert row["batch"] == 2 and row["accum"] == 2
+    assert row["examples_per_s"] > 0
