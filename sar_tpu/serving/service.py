@@ -68,7 +68,8 @@ class TranscriptionService:
                  lora: dict | None = None,
                  lora_scale: float = 1.0, kv_int8: bool = True,
                  flash: str | bool = "auto", max_queue: int = 512,
-                 task: str = "transcribe"):
+                 task: str = "transcribe", kv_int4: bool = False,
+                 scores_int8: bool = False):
         if tokenizer is None or (router is None
                                  and (cfg is None or params is None)):
             raise ValueError("need cfg+params+tokenizer, or a "
@@ -95,7 +96,21 @@ class TranscriptionService:
         self.max_new_tokens = max_new_tokens
         self.lora = lora
         self.lora_scale = lora_scale
-        self.kv_int8 = kv_int8
+        # Same precision surface as ASREvaluator: int4 (nibble-packed)
+        # supersedes int8 when set; scores_int8 = the fused s8-MXU decode
+        # kernel (greedy, non-routed — the paths _build compiles it into).
+        self.kv_int4 = kv_int4
+        self.kv_int8 = kv_int8 and not kv_int4
+        if scores_int8 and kv_int4:
+            raise ValueError("scores_int8 (the s8-MXU path) does not compose "
+                             "with an int4-packed KV cache")
+        if scores_int8 and not self.kv_int8:
+            raise ValueError("scores_int8 requires kv_int8=True")
+        if scores_int8 and (num_beams > 1 or router is not None):
+            logger.warning("scores_int8 applies to the greedy non-routed "
+                           "serving program; decoding with bf16 scores")
+            scores_int8 = False
+        self.scores_int8 = scores_int8
         self.flash = (("hm" if jax.default_backend() == "tpu" else False)
                       if flash == "auto" else flash)
         self._build()
@@ -143,7 +158,9 @@ class TranscriptionService:
                                        lora=router.bank, adapter_idx=idx,
                                        lora_scale=router.lora_cfg.scale,
                                        cross_kv_int8=self.kv_int8,
-                                       self_kv_int8=self.kv_int8)
+                                       self_kv_int8=self.kv_int8,
+                                       cross_kv_int4=self.kv_int4,
+                                       self_kv_int4=self.kv_int4)
                 return tokens, idx, probs
 
             self._routed = jax.jit(routed)
@@ -151,6 +168,9 @@ class TranscriptionService:
             return
 
         from sar_tpu.models import whisper
+
+        kv4 = self.kv_int4
+        s8 = self.scores_int8
 
         def prep(params, audio):
             feats = mel_ops.log_mel_spectrogram(
@@ -161,12 +181,15 @@ class TranscriptionService:
                                  lora_scale=scale, flash=flash)
             return whisper.init_cache(params, enc, cfg, max_len=total,
                                       lora=lora, lora_scale=scale,
-                                      cross_kv_int8=kv, self_kv_int8=kv)
+                                      cross_kv_int8=kv, self_kv_int8=kv,
+                                      cross_kv_int4=kv4, self_kv_int4=kv4,
+                                      head_minor=s8)
 
         def dec(params, cache, prompts):
             from sar_tpu.decode.greedy import greedy_decode_from_cache
             return greedy_decode_from_cache(params, cache, cfg, prompts,
                                             lora=lora, lora_scale=scale,
+                                            scores_int8=s8,
                                             return_cache=True)
 
         def beam(params, audio, prompts):
@@ -181,7 +204,8 @@ class TranscriptionService:
                                num_beams=self.num_beams,
                                max_new_tokens=self.max_new_tokens,
                                lora=lora, lora_scale=scale,
-                               cross_kv_int8=kv, self_kv_int8=kv)
+                               cross_kv_int8=kv, self_kv_int8=kv,
+                               cross_kv_int4=kv4, self_kv_int4=kv4)
 
         self._prep = jax.jit(prep)
         self._dec = jax.jit(dec, donate_argnums=(1,))

@@ -59,6 +59,15 @@ def parse_args(argv=None):
                    help="translate = X -> English speech translation "
                         "(plain serving only; routed mode is "
                         "transcription-only)")
+    p.add_argument("--kv_cache", type=str, default="int8",
+                   choices=["int8", "bf16", "int4"],
+                   help="KV-cache precision of the compiled decode program "
+                        "(int4 = nibble-packed, half the int8 traffic at "
+                        "coarser quantization)")
+    p.add_argument("--attn_scores", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8 = the fused s8-MXU attention decode kernel "
+                        "(greedy non-routed serving; requires int8 KV)")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="Force a JAX backend (default: environment's)")
@@ -110,7 +119,8 @@ def build_service(args):
         logger.info("routed serving over %s", clf_cfg.languages)
         return TranscriptionService(
             router=router, tokenizer=tokenizer, batch_size=args.batch_size,
-            max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens)
+            max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
+            kv_int8=args.kv_cache == "int8", kv_int4=args.kv_cache == "int4")
     lora = None
     lora_scale = 1.0
     if args.checkpoint:
@@ -123,7 +133,9 @@ def build_service(args):
         cfg, params, tokenizer, language=args.language, lora=lora,
         lora_scale=lora_scale, batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
-        num_beams=args.num_beams, task=args.task)
+        num_beams=args.num_beams, task=args.task,
+        kv_int8=args.kv_cache == "int8", kv_int4=args.kv_cache == "int4",
+        scores_int8=args.attn_scores == "int8")
 
 
 class Handler(BaseHTTPRequestHandler):

@@ -289,3 +289,29 @@ def test_service_task_validation():
     with pytest.raises(ValueError):
         TranscriptionService(router=object(), tokenizer=_Tok(),
                              task="translate")
+
+
+def test_service_precision_modes(world, reference_texts):
+    """--kv_cache int4 and --attn_scores int8 build and serve (CPU: the
+    jnp twins of both paths); int4/s8 are approximations, so only shape
+    and type are asserted, plus the composition guards."""
+    cfg, params, clips = world
+    with TranscriptionService(cfg, params, _Tok(), language="english",
+                              batch_size=2, max_wait_ms=50.0,
+                              max_new_tokens=6, flash=False,
+                              kv_int4=True) as svc:
+        out = svc.transcribe(clips[0])
+        assert isinstance(out, str) and out
+    with TranscriptionService(cfg, params, _Tok(), language="english",
+                              batch_size=2, max_wait_ms=50.0,
+                              max_new_tokens=6, flash=False,
+                              scores_int8=True) as svc:
+        assert svc.scores_int8 is True
+        out = svc.transcribe(clips[0])
+        assert isinstance(out, str) and out
+    with pytest.raises(ValueError, match="int4"):
+        TranscriptionService(cfg, params, _Tok(), language="english",
+                             kv_int4=True, scores_int8=True)
+    with pytest.raises(ValueError, match="kv_int8"):
+        TranscriptionService(cfg, params, _Tok(), language="english",
+                             kv_int8=False, scores_int8=True)
