@@ -59,17 +59,11 @@ class ASREvaluator:
                              "with an int4-packed KV cache")
         if scores_int8 and not self.kv_int8:
             raise ValueError("scores_int8 requires kv_int8=True")
-        if scores_int8 and num_beams > 1:
-            # A beam-folded s8 kernel exists (ops/decode_cross.py
-            # beam_width=K, interpret-parity tested) but has not been
-            # compile-validated on real TPU hardware yet; until it is, the
-            # guard keeps beams off the classic-layout s8 einsum XLA cannot
-            # map to the MXU (~11.6 ms/token — slower than bf16).
-            logger.warning("scores_int8 under beams awaits hardware "
-                           "validation of the beam-folded kernel; beams "
-                           "decode with bf16 attention scores (int8 KV "
-                           "cache stays on)")
-            scores_int8 = False
+        # Beams + scores_int8 ride the beam-folded fused kernel on TPU
+        # (ops/decode_cross.py beam_width=K: the K beam queries become
+        # extra block-diagonal MXU rows; hardware-validated by
+        # jobs/tpu_validation.sh step 4 — token agreement 1.0 vs the
+        # classic layout on v5e). Off-TPU beam_decode uses the jnp twin.
         if scores_int8 and mesh is not None:
             # The fused pallas kernel has no SPMD partitioning rule; under a
             # mesh it would error or all-gather the sharded cross cache.

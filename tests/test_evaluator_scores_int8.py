@@ -39,26 +39,32 @@ def test_greedy_scores_int8_high_agreement(setup, rng):
     assert agree >= 2, (s8, exact)
 
 
-def test_beam_scores_int8_falls_back(setup, rng, caplog):
-    """beams + scores_int8 must NOT silently select the classic-layout s8
-    einsum (the un-MXU-mappable ~11.6 ms/token path): the evaluator warns
-    and decodes beams with bf16 scores, keeping int8 KV."""
-    import logging
+def test_beam_scores_int8_stays_on(setup, rng):
+    """Beams + scores_int8 ride the beam-folded fused kernel on TPU
+    (hardware-validated: jobs/tpu_validation.sh step 4, token agreement
+    1.0 on v5e); the evaluator keeps the flag ON under beams. On CPU this
+    exercises beam_decode's jnp twin of the same s8 math."""
     cfg, params, tok = setup
     mel = _mel(cfg, rng)
-    with caplog.at_level(logging.WARNING):
-        ev = ASREvaluator(cfg, params, tok, language="english",
-                          max_new_tokens=6, num_beams=2, scores_int8=True)
-    assert ev.scores_int8 is False
+    ev = ASREvaluator(cfg, params, tok, language="english",
+                      max_new_tokens=6, num_beams=2, scores_int8=True)
+    assert ev.scores_int8 is True
     assert ev.kv_int8 is True
-    assert any("beam" in r.message for r in caplog.records)
     out = ev._transcribe_batch(mel)
     assert len(out) == 4 and all(isinstance(t, str) for t in out)
-    # And matches the plain beam+int8-KV evaluator exactly.
-    plain = ASREvaluator(cfg, params, tok, language="english",
-                         max_new_tokens=6,
-                         num_beams=2)._transcribe_batch(mel)
-    assert out == plain
+    # Matches a direct beam_decode(scores_int8=True) over the same batch
+    # (the s8 path is approximate, so the reference is ITSELF, not bf16).
+    from sar_tpu.decode.beam import beam_decode
+    from sar_tpu.decode.greedy import transcribe_tokens
+    from sar_tpu.models import whisper
+    import jax.numpy as jnp
+    prompt = jnp.asarray(cfg.prompt_ids("english"), jnp.int32)
+    enc = whisper.encode(params, mel, cfg)
+    tokens = beam_decode(params, enc, cfg, prompt, num_beams=2,
+                         max_new_tokens=6, cross_kv_int8=True,
+                         self_kv_int8=True, scores_int8=True)
+    ids = transcribe_tokens(tokens, cfg, prompt_len=int(prompt.shape[0]))
+    assert out == [tok.decode(r) for r in ids]
 
 
 def test_mesh_scores_int8_falls_back(setup, rng, caplog):
