@@ -70,6 +70,13 @@ def parse_args(argv=None):
                    help="Concurrent requests per serving row")
     p.add_argument("--serving_wait_ms", type=float, default=20.0,
                    help="Service batching window")
+    p.add_argument("--no_agreement", action="store_true",
+                   help="Skip the token-agreement comparison decode on "
+                        "approximate rows (--attn_scores int8 / --kv_cache "
+                        "int4). Use for capacity probes where the exact-path "
+                        "comparison itself exceeds HBM (e.g. whisper-large "
+                        "B>=48: the int8-KV reference decode thrashes or "
+                        "crashes while the int4 candidate fits)")
     p.add_argument("--output", type=str, default=None)
     return p.parse_args(argv)
 
@@ -213,7 +220,7 @@ def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
-               scores_int8=False, num_beams=1):
+               scores_int8=False, num_beams=1, agreement=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -326,14 +333,14 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
            "seconds_per_batch": round(dt, 4),
            "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
            "ms_per_token": round(dt / max_new_tokens * 1000, 3)}
-    if scores_int8 and num_beams == 1:
+    if scores_int8 and num_beams == 1 and agreement:
         # The gating harness: int8-MXU scores are an approximation (probs
         # quantization); record token agreement vs the exact bf16-scores
         # decode (classic cache layout).
         a = np.asarray(dec(params, prep(params, audio, True), True))
         b = np.asarray(dec(params, prep(params, audio, False), False))
         row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
-    if kv_int4 and num_beams == 1:
+    if kv_int4 and num_beams == 1 and agreement:
         # int4 is coarser (15 levels/row vs int8's 255): record token
         # agreement vs the default int8-KV decode so the quantization cost
         # is visible next to the traffic win (promotion evidence, like the
@@ -432,7 +439,8 @@ def main(argv=None):
                     r = run_config(cfg, params, b, args.max_new_tokens,
                                    kv, args.iters, mesh=mesh,
                                    scores_int8=args.attn_scores == "int8",
-                                   num_beams=nb)
+                                   num_beams=nb,
+                                   agreement=not args.no_agreement)
                 except Exception as e:
                     logger.warning("config batch=%d kv=%s beams=%d failed: %s",
                                    b, kv, nb, e)

@@ -30,6 +30,20 @@ def test_benchmark_int4_kv_row():
     assert 0.0 <= row["token_agreement_vs_int8"] <= 1.0
 
 
+def test_benchmark_no_agreement_skips_comparison_decode():
+    """--no_agreement drops the exact-path comparison decode from
+    approximate rows (capacity probes: at whisper-large B>=48 the int8-KV
+    reference decode itself thrashes or crashes while int4 fits)."""
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4",
+        "--kv_cache", "int4", "--iters", "1", "--no_agreement"])
+    (row,) = report["results"]
+    assert row["kv"] == "int4" and row["rtfx"] > 0
+    assert "token_agreement_vs_int8" not in row
+
+
 def test_benchmark_scores_int8_row_reports_agreement():
     import benchmark
     report = benchmark.main([

@@ -110,3 +110,27 @@ def test_s8_gate_harness(tmp_path):
                          "max_logit_delta"}
     assert report["backend"] == "cpu" and report["fused_kernel"] is False
     assert rc in (0, 1)  # verdict, not a crash
+
+
+def test_int4_gate_harness(tmp_path):
+    """--quant int4 gates the nibble-packed int4 KV cache against the
+    default int8 KV with the same agreement matrix + logit-delta probe
+    (recorded decision: INT4_GATE.json)."""
+    import json
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        import s8_gate
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "gate.json"
+    rc = s8_gate.main(["--quant", "int4", "--models", "whisper-test",
+                       "--batches", "2", "--max_new_tokens", "6",
+                       "--output", str(out)])
+    report = json.loads(out.read_text())
+    assert report["quant"] == "int4" and report["fused_kernel"] is False
+    (cell,) = report["cells"]
+    assert {"agreement_twophase", "agreement_direct", "max_logit_delta",
+            "decode_s_int4", "decode_s_int8"} <= set(cell)
+    assert rc in (0, 1)
