@@ -14,6 +14,10 @@
 #   4. beam-folded s8 kernel compile check           (lift the evaluator
 #      beams+scores_int8 guard if tokens match and it is not slower)
 #   5. BENCH_SCORES=int8 bench.py -> BENCH_s8.json   (promotion headroom)
+#   6. int4 KV gate + capacity probe -> INT4_GATE.json (run late round 3:
+#      int4 decode is SLOWER than int8 on v5e — unpack VPU cost — and
+#      whisper-large B=48 executes but loses to B=32 int8; re-run only
+#      after a kernel-level unpack change or on new hardware)
 #
 # Never run two TPU processes concurrently (contention skews timings and
 # can OOM a cell that fits alone).
@@ -21,14 +25,14 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== 1/5 liveness =="
+echo "== 1/6 liveness =="
 timeout 300 python -c "import jax; print(jax.devices())" || {
     echo "TPU backend unreachable; aborting validation queue" >&2; exit 1; }
 
-echo "== 2/5 headline bench =="
+echo "== 2/6 headline bench =="
 timeout 1800 python bench.py | tee BENCH_local.json
 
-echo "== 3/5 s8 promotion gate =="
+echo "== 3/6 s8 promotion gate =="
 timeout 3600 python scripts/s8_gate.py \
     --models whisper-small whisper-medium --batches 8 32 \
     --output /tmp/s8_gate_sm.json
@@ -44,7 +48,7 @@ json.dump(a, open("S8_GATE.json", "w"), indent=2)
 print("S8_GATE.json pass =", a["pass"])
 PY
 
-echo "== 4/5 beam-folded kernel compile check =="
+echo "== 4/6 beam-folded kernel compile check =="
 timeout 1800 python - <<'PY'
 import time
 
@@ -79,7 +83,13 @@ print(f"token agreement head-minor vs classic: {agree:.4f}; "
 print("PASS" if agree == 1.0 else "DISAGREEMENT — keep the evaluator guard")
 PY
 
-echo "== 5/5 s8 bench =="
+echo "== 5/6 s8 bench =="
 timeout 1800 env BENCH_SCORES=int8 python bench.py | tee BENCH_s8.json
+
+echo "== 6/6 int4 KV gate + whisper-large capacity probe =="
+timeout 3000 python scripts/s8_gate.py --quant int4 --batches 8
+timeout 2400 python scripts/benchmark.py --model whisper-large \
+    --batch_sizes 48 --max_new_tokens 256 --kv_cache int4 \
+    --no_agreement --iters 3
 
 echo "validation queue complete"
