@@ -9,6 +9,7 @@ ROOT = Path(__file__).resolve().parent.parent
 def test_config_yamls_exist_and_parse():
     files = [
         ROOT / "configs/model_configs/whisper.yaml",
+        ROOT / "configs/model_configs/owsm.yaml",
         ROOT / "configs/lora_configs/default.yaml",
         ROOT / "configs/training_configs/default.yaml",
         ROOT / "configs/dataset_configs/default.yaml",
