@@ -206,12 +206,15 @@ def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
                                    mels, labels, ids, k)
 
     # Warm/compile (the step donates lora/opt_state; rebind every call).
+    # Completion is fenced with a device->host transfer of the loss:
+    # block_until_ready alone does NOT guarantee completion through
+    # remote-execution (axon) tunnels and times the dispatch, not the step.
     lora, opt_state, loss, _ = step(trainer.lora, trainer.opt_state)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         lora, opt_state, loss, _ = step(lora, opt_state)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
     return {"mode": "train", "batch": batch, "accum": accum,
             "label_len": label_len, "lora_rank": lora_rank,
