@@ -24,6 +24,11 @@ allows it.
 
 Run on TPU (the fused kernel has no CPU build; on CPU this exercises the
 jnp twin of the same math and says so in the report).
+
+Note: the per-cell `decode_s_*` fields time the FIRST execution and so
+include compile time — they are informational context only (use
+scripts/benchmark.py for steady-state numbers); the gate verdict is
+agreement-based.
 """
 
 from __future__ import annotations
@@ -106,7 +111,9 @@ def run_cell(model: str, batch: int, max_new_tokens: int, probe: bool,
                                        cross_kv_int4=kv_int4,
                                        self_kv_int4=kv_int4,
                                        head_minor=head_minor)
-    prep = (prep.lower(params, audio, not int4 and True, int4).compile(),
+    # Candidate prep: head-minor int8 cache (s8 mode) or int4 cache (int4
+    # mode); reference prep: the default classic int8 cache.
+    prep = (prep.lower(params, audio, not int4, int4).compile(),
             prep.lower(params, audio, False, False).compile())
 
     @functools.partial(jax.jit, static_argnums=(3,))
