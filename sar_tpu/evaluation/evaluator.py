@@ -64,6 +64,14 @@ class ASREvaluator:
         # extra block-diagonal MXU rows; hardware-validated by
         # jobs/tpu_validation.sh step 4 — token agreement 1.0 vs the
         # classic layout on v5e). Off-TPU beam_decode uses the jnp twin.
+        if scores_int8 and num_beams > 1:
+            # Honor the explicit opt-in, but surface the measured cost:
+            # at whisper-small B=16 beam-4 the fused path ran 5.45 ms/token
+            # vs 4.44 with bf16 scores (PARITY.md round-3 validation).
+            logger.info("beams + scores_int8 uses the beam-folded fused "
+                        "kernel (exact-agreement-validated); note it "
+                        "measured SLOWER than bf16 scores at small batch "
+                        "on v5e — benchmark both for your shape")
         if scores_int8 and mesh is not None:
             # The fused pallas kernel has no SPMD partitioning rule; under a
             # mesh it would error or all-gather the sharded cross cache.
