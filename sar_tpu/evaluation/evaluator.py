@@ -13,6 +13,7 @@ features are computed on device from raw audio when items carry "audio".
 
 from __future__ import annotations
 
+import functools
 import logging
 from pathlib import Path
 
@@ -261,6 +262,26 @@ def transcribe_audio(audio: np.ndarray, cfg: WhisperConfig, params: dict,
                             lora_scale=lora_scale, task=task)[0]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens",
+                                             "lora_scale"))
+def _transcribe_step(params, audio, prompt, lora, *, cfg, max_new_tokens,
+                     lora_scale):
+    """Mel + encode + greedy decode as ONE persistent jitted program.
+
+    Module-level so jit's cache (keyed on function identity + arg
+    shapes/treedefs + the static args) survives across `batch_transcribe`
+    calls: transcribing N long files from the CLI compiles once, not N
+    times. `lora` rides as a pytree ARGUMENT — adapters of identical
+    shape swap without retracing."""
+    feats = mel_ops.log_mel_spectrogram(
+        audio, cfg.num_mel_bins, dtype=jax.tree.leaves(params)[0].dtype)
+    feats = feats[:, :, :cfg.num_audio_frames]
+    enc = whisper.encode(params, feats, cfg, lora=lora, lora_scale=lora_scale)
+    return greedy_decode(params, enc, cfg, prompt,
+                         max_new_tokens=max_new_tokens, lora=lora,
+                         lora_scale=lora_scale)
+
+
 def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
                      params: dict, tokenizer, language: str = "hindi",
                      batch_size: int = 8, max_new_tokens: int = 256,
@@ -276,24 +297,15 @@ def batch_transcribe(audios: list[np.ndarray], cfg: WhisperConfig,
     long-form path merges ids across windows before decoding)."""
     prompt = jnp.asarray(cfg.prompt_ids(language, task), jnp.int32)
 
-    @jax.jit
-    def run(params, audio):
-        feats = mel_ops.log_mel_spectrogram(
-            audio, cfg.num_mel_bins,
-            dtype=jax.tree.leaves(params)[0].dtype)
-        feats = feats[:, :, :cfg.num_audio_frames]
-        enc = whisper.encode(params, feats, cfg, lora=lora, lora_scale=lora_scale)
-        return greedy_decode(params, enc, cfg, prompt,
-                             max_new_tokens=max_new_tokens, lora=lora,
-                             lora_scale=lora_scale)
-
     out: list = []
     for s in range(0, len(audios), batch_size):
         chunk = audios[s:s + batch_size]
         n = len(chunk)
         padded = mel_ops.stack_pad_audio(
             chunk + [np.zeros(1, np.float32)] * (batch_size - n))
-        tokens = run(params, jnp.asarray(padded))
+        tokens = _transcribe_step(params, jnp.asarray(padded), prompt, lora,
+                                  cfg=cfg, max_new_tokens=max_new_tokens,
+                                  lora_scale=float(lora_scale))
         ids = transcribe_tokens(tokens[:n], cfg, prompt_len=int(prompt.shape[0]))
         out.extend(ids if return_ids
                    else (tokenizer.decode(row) for row in ids))

@@ -264,13 +264,24 @@ def encode_features(base_params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
     x = jax.nn.gelu(x, approximate=False)
     x = x + enc["pos_embed"][:x.shape[1]].astype(dtype)
 
+    # `layer_index` is static: slice the stacked layer params to the tap
+    # depth and scan only those, carrying a single [B, T, D] activation —
+    # stacking every layer's output ([L, B, T, D]) just to index one would
+    # cost ~L× the needed activation memory at whisper-large.
+    L = jax.tree.leaves(enc["layers"])[0].shape[0]
+    k = layer_index if layer_index >= 0 else L + layer_index
+    if not 0 <= k < L:
+        raise ValueError(f"layer_index {layer_index} out of range for "
+                         f"{L}-layer encoder")
+    tapped = jax.tree.map(lambda a: a[:k + 1], enc["layers"])
+
     def body(carry, p):
         y = whisper._enc_layer_apply(carry, p, None, whisper.LoraCtx(),
                                      cfg.encoder_heads)
-        return y, y
+        return y, None
 
-    _, per_layer = jax.lax.scan(body, x, enc["layers"])
-    return jax.lax.stop_gradient(per_layer[layer_index])
+    x, _ = jax.lax.scan(body, x, tapped)
+    return jax.lax.stop_gradient(x)
 
 
 def get_hidden_dim(cfg: WhisperConfig) -> int:

@@ -82,11 +82,29 @@ class AdapterRouter:
         if strategy == "soft":
             return self._soft(input_features, probs, labels)
         if strategy == "threshold":
-            confident = bool(jnp.all(jnp.max(probs, axis=-1) > self.threshold))
-            if confident:
+            return self._threshold(input_features, idx, probs, labels)
+        raise ValueError(f"Unknown routing strategy: {strategy}")
+
+    def _threshold(self, input_features, idx, probs, labels):
+        """Hard when every sample clears the confidence threshold, else soft
+        (reference :672-693). With labels this is a traced `lax.cond` — the
+        confidence test stays on device (no host sync, fully jittable) and
+        only the taken branch executes at runtime; the output dict carries
+        the same keys either way, plus the traced `confident` flag."""
+        confident = jnp.all(jnp.max(probs, axis=-1) > self.threshold)
+        if labels is None:
+            # Hard returns encoder activations and soft is undefined without
+            # labels — the output STRUCTURE is data-dependent, so this one
+            # path syncs the flag to host (reference behavior).
+            if bool(confident):
                 return self._hard(input_features, idx, probs, labels)
             return self._soft(input_features, probs, labels)
-        raise ValueError(f"Unknown routing strategy: {strategy}")
+        logits, loss = jax.lax.cond(
+            confident,
+            lambda: self._hard_terms(input_features, idx, labels),
+            lambda: self._soft_terms(input_features, probs, labels))
+        return {"loss": loss, "logits": logits, "probs": probs,
+                "adapter_idx": idx, "confident": confident}
 
     def _teacher_logits(self, input_features, labels, adapter_idx):
         dec_in = whisper.shift_tokens_right(labels, self.cfg.sot_token_id,
@@ -96,12 +114,16 @@ class AdapterRouter:
                                adapter_idx=adapter_idx,
                                lora_scale=self.lora_cfg.scale)
 
+    def _hard_terms(self, input_features, adapter_idx, labels):
+        logits = self._teacher_logits(input_features, labels, adapter_idx)
+        return logits, whisper.cross_entropy_loss(logits, labels)
+
     def _hard(self, input_features, adapter_idx, probs, labels):
         out = {"probs": probs, "adapter_idx": adapter_idx}
         if labels is not None:
-            logits = self._teacher_logits(input_features, labels, adapter_idx)
+            logits, loss = self._hard_terms(input_features, adapter_idx, labels)
             out["logits"] = logits
-            out["loss"] = whisper.cross_entropy_loss(logits, labels)
+            out["loss"] = loss
         else:
             enc = whisper.encode(self.base_params, input_features, self.cfg,
                                  lora=self.bank, adapter_idx=adapter_idx,
@@ -109,10 +131,9 @@ class AdapterRouter:
             out["encoder_out"] = enc
         return out
 
-    def _soft(self, input_features, probs, labels):
-        """All adapters on the full batch; prob-weighted logits (:627-670)."""
-        if labels is None:
-            raise ValueError("soft routing requires labels (teacher-forced)")
+    def _soft_terms(self, input_features, probs, labels):
+        """All adapters on the full batch; prob-weighted logits (:627-670).
+        Returns (weighted_logits, loss)."""
         B = input_features.shape[0]
         weighted = None
         loss = 0.0
@@ -123,6 +144,12 @@ class AdapterRouter:
             weighted = w * logits if weighted is None else weighted + w * logits
             loss = loss + probs[:, i].mean() * whisper.cross_entropy_loss(
                 logits, labels)
+        return weighted, loss
+
+    def _soft(self, input_features, probs, labels):
+        if labels is None:
+            raise ValueError("soft routing requires labels (teacher-forced)")
+        weighted, loss = self._soft_terms(input_features, probs, labels)
         return {"loss": loss, "logits": weighted, "probs": probs}
 
     # -- Routed generation ----------------------------------------------------

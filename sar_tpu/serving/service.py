@@ -98,7 +98,7 @@ class TranscriptionService:
         self.lora_scale = lora_scale
         # Same precision surface as ASREvaluator: int4 (nibble-packed)
         # supersedes int8 when set; scores_int8 = the fused s8-MXU decode
-        # kernel (greedy, non-routed — the paths _build compiles it into).
+        # kernel (greedy or beam-folded, non-routed).
         self.kv_int4 = kv_int4
         self.kv_int8 = kv_int8 and not kv_int4
         if scores_int8 and kv_int4:
@@ -106,10 +106,18 @@ class TranscriptionService:
                              "with an int4-packed KV cache")
         if scores_int8 and not self.kv_int8:
             raise ValueError("scores_int8 requires kv_int8=True")
-        if scores_int8 and (num_beams > 1 or router is not None):
-            logger.warning("scores_int8 applies to the greedy non-routed "
-                           "serving program; decoding with bf16 scores")
+        if scores_int8 and router is not None:
+            logger.warning("scores_int8 applies to the non-routed serving "
+                           "programs; decoding with bf16 scores")
             scores_int8 = False
+        if scores_int8 and num_beams > 1:
+            # Same surface as ASREvaluator: beams + scores_int8 ride the
+            # beam-folded fused kernel (agreement-validated on v5e) — honor
+            # the opt-in but surface the measured cost (5.45 vs 4.44
+            # ms/token at whisper-small B=16 beam-4, PARITY.md r03).
+            logger.info("beams + scores_int8 uses the beam-folded fused "
+                        "kernel; it measured SLOWER than bf16 scores at "
+                        "small batch on v5e — benchmark both for your shape")
         self.scores_int8 = scores_int8
         self.flash = (("hm" if jax.default_backend() == "tpu" else False)
                       if flash == "auto" else flash)
@@ -205,7 +213,8 @@ class TranscriptionService:
                                max_new_tokens=self.max_new_tokens,
                                lora=lora, lora_scale=scale,
                                cross_kv_int8=kv, self_kv_int8=kv,
-                               cross_kv_int4=kv4, self_kv_int4=kv4)
+                               cross_kv_int4=kv4, self_kv_int4=kv4,
+                               scores_int8=s8)
 
         self._prep = jax.jit(prep)
         self._dec = jax.jit(dec, donate_argnums=(1,))

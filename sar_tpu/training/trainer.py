@@ -290,17 +290,23 @@ class ASRTrainer:
             labels = np.asarray(batch["labels"])
             ids_np = np.asarray(batch.get(
                 "language_ids", np.zeros(B, np.int32)), np.int32)
+            # Pad partial batches up to the loader's full batch size so a
+            # ragged final batch never changes B and retraces _eval_step (a
+            # full decode-loop compile). Padded rows carry all -100 labels
+            # (zero loss-mask weight) and are sliced off below. A full batch
+            # size also satisfies the mesh's batch-shard divisibility (full
+            # batches already must divide it to run at all).
+            target = max(getattr(eval_loader, "batch_size", B), B)
             if self.mesh is not None:
-                # Pad partial batches to a multiple of the batch shards;
-                # padded rows carry all -100 labels (zero loss-mask weight).
                 from sar_tpu.parallel.distributed import n_batch_shards
                 n_data = n_batch_shards(self.mesh)
-                pad = (-B) % n_data
-                if pad:
-                    mels = np.pad(mels, [(0, pad)] + [(0, 0)] * (mels.ndim - 1))
-                    labels = np.pad(labels, [(0, pad), (0, 0)],
-                                    constant_values=-100)
-                    ids_np = np.pad(ids_np, (0, pad))
+                target += (-target) % n_data
+            pad = target - B
+            if pad:
+                mels = np.pad(mels, [(0, pad)] + [(0, 0)] * (mels.ndim - 1))
+                labels = np.pad(labels, [(0, pad), (0, 0)],
+                                constant_values=-100)
+                ids_np = np.pad(ids_np, (0, pad))
             ids = self._put(ids_np, 0)
             prompt = (prompt_table[ids] if self.multi_adapter
                       else prompt_table[0])

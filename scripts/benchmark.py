@@ -62,6 +62,22 @@ def parse_args(argv=None):
     p.add_argument("--train_label_len", type=int, default=224,
                    help="Label length per example (448 max positions)")
     p.add_argument("--train_lora_rank", type=int, default=16)
+    p.add_argument("--routed", action="store_true",
+                   help="Benchmark Phase-2 routed inference end-to-end: ONE "
+                        "compiled LID->bank-gather->decode pass per "
+                        "mixed-language batch vs oracle-language decode. "
+                        "Reports routing overhead per utterance (the "
+                        "reference's own target is <10 ms/utt, "
+                        "PROJECT_REQUIREMENTS.md:999-1004) and routed vs "
+                        "oracle RTFx")
+    p.add_argument("--routed_languages", type=int, default=4,
+                   help="Adapters in the routed bank (the reference's "
+                        "Phase-2 setup routes 4 languages)")
+    p.add_argument("--routed_lid_layer", type=int, default=-1,
+                   help="Encoder layer tapped for LID features (-1 = final "
+                        "post-LN output, the reference default; k>=0 runs "
+                        "only the first k+1 layers — cheaper LID)")
+    p.add_argument("--routed_lora_rank", type=int, default=16)
     p.add_argument("--serving", action="store_true",
                    help="Benchmark the micro-batching serving layer at "
                         "saturation (concurrent clients, end-to-end "
@@ -172,6 +188,119 @@ def run_serving(cfg, params, batch, max_new_tokens, n_requests,
             "latency_ms_p50": st.get("latency_ms_p50"),
             "latency_ms_p95": st.get("latency_ms_p95"),
             "compile_s": round(compile_s, 1)}
+
+
+def run_routed(cfg, params, batch, max_new_tokens, iters, kv, n_languages,
+               lid_layer, lora_rank):
+    """Phase-2 routed inference, end-to-end on device: mel -> LID features ->
+    classifier -> adapter-index gather -> banked encode -> greedy decode, ONE
+    compiled program per batch (models/router.py:129-151 is the production
+    path; the reference loops per-sample HF generates,
+    /root/reference/src/models/adapter_router.py:715-761).
+
+    Measured against the ORACLE program (same banked decode, adapter index
+    given) so the routing overhead — the LID encoder pass + classifier +
+    prompt/bank gathers — is isolated per utterance. The reference's own
+    Phase-2 success metric is routing overhead < 10 ms/utterance
+    (/root/reference/PROJECT_REQUIREMENTS.md:999-1004). Weights are random:
+    throughput is weight-independent, and the index gather's cost is
+    identical whatever the classifier predicts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sar_tpu.decode.greedy import greedy_decode
+    from sar_tpu.models import classifier as clf
+    from sar_tpu.models import lora as lora_lib
+    from sar_tpu.models import whisper
+    from sar_tpu.ops import mel as mel_ops
+
+    langs = ["hindi", "italian", "punjabi", "telugu",
+             "german", "french", "spanish", "english"][:n_languages]
+    lcfg = lora_lib.LoraConfig(r=lora_rank, alpha=2 * lora_rank)
+    bank = lora_lib.stack_adapters(
+        [lora_lib.init_lora(jax.random.PRNGKey(i), cfg, lcfg)
+         for i in range(n_languages)])
+    ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, dropout=0.0,
+                                num_classes=n_languages,
+                                languages=tuple(langs))
+    clf_params = clf.init_classifier(jax.random.PRNGKey(42), ccfg)
+    prompts = jnp.asarray([cfg.prompt_ids(l) for l in langs], jnp.int32)
+
+    kv_int8, kv_int4 = kv == "int8", kv == "int4"
+    flash = "hm" if jax.default_backend() == "tpu" else False
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, mel_ops.N_SAMPLES)) * 0.1,
+                        jnp.float32)
+
+    def mel_feats(params, audio):
+        feats = mel_ops.log_mel_spectrogram(audio, cfg.num_mel_bins,
+                                            dtype=jnp.bfloat16)
+        return feats[:, :, :cfg.num_audio_frames]
+
+    def detect(params, clf_params, feats):
+        hid = clf.encode_features(params, feats, cfg, layer_index=lid_layer)
+        idx, _ = clf.predict(clf_params, ccfg, hid)
+        return idx.astype(jnp.int32)
+
+    def banked_decode(params, bank, feats, idx):
+        enc = whisper.encode(params, feats, cfg, lora=bank, adapter_idx=idx,
+                             lora_scale=lcfg.scale, flash=flash)
+        return greedy_decode(params, enc, cfg, prompts[idx],
+                             max_new_tokens=max_new_tokens, lora=bank,
+                             adapter_idx=idx, lora_scale=lcfg.scale,
+                             cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+                             cross_kv_int4=kv_int4, self_kv_int4=kv_int4)
+
+    @jax.jit
+    def lid_only(params, clf_params, audio):
+        return detect(params, clf_params, mel_feats(params, audio))
+
+    @jax.jit
+    def routed(params, clf_params, bank, audio):
+        feats = mel_feats(params, audio)
+        idx = detect(params, clf_params, feats)
+        return banked_decode(params, bank, feats, idx), idx
+
+    @jax.jit
+    def oracle(params, bank, audio, idx):
+        return banked_decode(params, bank, mel_feats(params, audio), idx)
+
+    # AOT executables: fixed programs are what a benchmark should time (and
+    # they bypass the jax-0.9 cpp-pjit buffer-recount issue, cf. run_config).
+    lid_c = lid_only.lower(params, clf_params, audio).compile()
+    routed_c = routed.lower(params, clf_params, bank, audio).compile()
+    toks_routed, idx0 = routed_c(params, clf_params, bank, audio)
+    idx0 = jnp.asarray(np.asarray(idx0))            # oracle gets the answer
+    oracle_c = oracle.lower(params, bank, audio, idx0).compile()
+    toks_oracle = oracle_c(params, bank, audio, idx0)
+    # Sanity: routing must cost time, never tokens — same idx, same decode.
+    agreement = float((np.asarray(toks_routed) == np.asarray(toks_oracle))
+                      .mean())
+
+    def timed(fn, *a):
+        np.asarray(jax.tree.leaves(fn(*a))[0])      # warm + fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+        np.asarray(jax.tree.leaves(out)[0])
+        return (time.perf_counter() - t0) / iters
+
+    t_routed = timed(routed_c, params, clf_params, bank, audio)
+    t_oracle = timed(oracle_c, params, bank, audio, idx0)
+    t_lid = timed(lid_c, params, clf_params, audio)
+
+    return {"mode": "routed", "batch": batch, "kv": kv,
+            "languages": len(langs), "lid_layer": lid_layer,
+            "lora_rank": lora_rank,
+            "routed_s_per_batch": round(t_routed, 4),
+            "oracle_s_per_batch": round(t_oracle, 4),
+            "rtfx_routed": round(batch * mel_ops.CHUNK_SECONDS / t_routed, 1),
+            "rtfx_oracle": round(batch * mel_ops.CHUNK_SECONDS / t_oracle, 1),
+            "routing_overhead_ms_per_utt":
+                round((t_routed - t_oracle) * 1000 / batch, 3),
+            "lid_ms_per_utt": round(t_lid * 1000 / batch, 3),
+            "token_agreement_vs_oracle": round(agreement, 4)}
 
 
 def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
@@ -340,7 +469,9 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
         # The gating harness: int8-MXU scores are an approximation (probs
         # quantization); record token agreement vs the exact bf16-scores
         # decode (classic cache layout).
-        a = np.asarray(dec(params, prep(params, audio, True), True))
+        # `out` from the timed loop already is the s8 decode; only the
+        # exact bf16 reference needs to run.
+        a = np.asarray(out)
         b = np.asarray(dec(params, prep(params, audio, False), False))
         row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
     if kv_int4 and num_beams == 1 and agreement:
@@ -356,7 +487,9 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
             enc = whisper.encode(params, feats, cfg, flash=flash)
             return whisper.init_cache(params, enc, cfg, max_len=total,
                                       cross_kv_int8=True, self_kv_int8=True)
-        a = np.asarray(dec(params, prep(params, audio, False), False))
+        # The timed loop's `out` IS the int4 decode — reuse it instead of
+        # re-running a full candidate decode; only the int8 reference runs.
+        a = np.asarray(out)
         b = np.asarray(dec(params, prep8(params, audio), False))
         row["token_agreement_vs_int8"] = round(float((a == b).mean()), 4)
     return row
@@ -399,6 +532,26 @@ def main(argv=None):
                   f"{r['s_per_step']} s/step = {r['examples_per_s']} ex/s "
                   f"(labels {r['label_len']}, r{r['lora_rank']})")
         report = {"model": args.model, "results": rows}
+        if args.output:
+            Path(args.output).write_text(json.dumps(report, indent=2))
+        return report
+    if args.routed:
+        if mesh is not None:
+            logger.warning("--routed benchmarks the single-chip routed "
+                           "program; ignoring the mesh flags")
+        for b in args.batch_sizes:
+            r = run_routed(cfg, params, b, args.max_new_tokens, args.iters,
+                           args.kv_cache[0], args.routed_languages,
+                           args.routed_lid_layer, args.routed_lora_rank)
+            rows.append(r)
+            print(f"routed batch={b} ({r['languages']} langs, LID layer "
+                  f"{r['lid_layer']}): {r['rtfx_routed']} RTFx vs oracle "
+                  f"{r['rtfx_oracle']} — overhead "
+                  f"{r['routing_overhead_ms_per_utt']} ms/utt (LID alone "
+                  f"{r['lid_ms_per_utt']} ms/utt), token agreement "
+                  f"{r['token_agreement_vs_oracle']}")
+        report = {"model": args.model, "max_new_tokens": args.max_new_tokens,
+                  "results": rows}
         if args.output:
             Path(args.output).write_text(json.dumps(report, indent=2))
         return report

@@ -120,7 +120,11 @@ def build_service(args):
         return TranscriptionService(
             router=router, tokenizer=tokenizer, batch_size=args.batch_size,
             max_wait_ms=args.max_wait_ms, max_new_tokens=args.max_new_tokens,
-            kv_int8=args.kv_cache == "int8", kv_int4=args.kv_cache == "int4")
+            kv_int8=args.kv_cache == "int8", kv_int4=args.kv_cache == "int4",
+            # The service guard warn-disables this for routed mode — pass it
+            # through so the user SEES the flag was dropped instead of it
+            # silently vanishing here.
+            scores_int8=args.attn_scores == "int8")
     lora = None
     lora_scale = 1.0
     if args.checkpoint:

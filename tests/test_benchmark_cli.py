@@ -79,3 +79,35 @@ def test_benchmark_train_row():
     assert row["mode"] == "train"
     assert row["batch"] == 2 and row["accum"] == 2
     assert row["examples_per_s"] > 0
+
+
+def test_benchmark_routed_row():
+    """--routed: one compiled LID->gather->decode program vs the oracle
+    program; the row must carry the reference's Phase-2 success metric
+    (routing overhead per utterance) and perfect token agreement — routing
+    may cost time, never tokens."""
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4", "--routed",
+        "--routed_languages", "2", "--routed_lora_rank", "4", "--iters", "1"])
+    (row,) = report["results"]
+    assert row["mode"] == "routed"
+    assert row["languages"] == 2
+    assert row["rtfx_routed"] > 0 and row["rtfx_oracle"] > 0
+    assert row["token_agreement_vs_oracle"] == 1.0
+    assert row["lid_ms_per_utt"] > 0
+
+
+def test_benchmark_routed_early_lid_tap():
+    """LID at an early encoder layer must produce a full row too (the
+    cheap-LID configuration)."""
+    import benchmark
+    report = benchmark.main([
+        "--model", "whisper-test", "--platform", "cpu",
+        "--batch_sizes", "2", "--max_new_tokens", "4", "--routed",
+        "--routed_languages", "2", "--routed_lora_rank", "4",
+        "--routed_lid_layer", "0", "--iters", "1"])
+    (row,) = report["results"]
+    assert row["lid_layer"] == 0
+    assert row["token_agreement_vs_oracle"] == 1.0
