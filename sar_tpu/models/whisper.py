@@ -247,12 +247,26 @@ def _mha(q, k, v, mask=None, *, causal=False, flash=False):
 
 def _enc_layer_apply(x, p, lora, ctx, num_heads, flash=False, t_valid=None):
     lo = lora or {}
+    if flash == "fq" and not any(k in lo for k in ("q", "k", "v")):
+        # Fused LN+QKV+attention kernel: h/q/k/v never exist in HBM (four
+        # [B, T, D] round-trips per layer gone). LoRA on q/k/v needs the
+        # unfused projections — encode() downgrades "fq" to "hm" then; LoRA
+        # on the out-projection alone still composes (applied below).
+        from sar_tpu.ops.flash_enc import encoder_attention_fused
+        a_m = encoder_attention_fused(
+            x, p["attn_ln"]["scale"], p["attn_ln"]["bias"],
+            p["q"]["w"], p["q"]["b"], p["k"]["w"], p["v"]["w"], p["v"]["b"],
+            n_heads=num_heads, t_valid=t_valid)
+        x = x + _proj(a_m, p["o"], lo.get("o"), ctx, 3)
+        h = layer_norm(x, p["mlp_ln"]["scale"], p["mlp_ln"]["bias"])
+        h = jax.nn.gelu(linear(h, p["fc1"]), approximate=False)
+        return x + linear(h, p["fc2"])
     scaling = (x.shape[-1] // num_heads) ** -0.5
     h = layer_norm(x, p["attn_ln"]["scale"], p["attn_ln"]["bias"])
     q = _proj(h, p["q"], lo.get("q"), ctx, 0) * scaling
     k = _proj(h, p["k"], lo.get("k"), ctx, 1)
     v = _proj(h, p["v"], lo.get("v"), ctx, 2)
-    if flash == "hm":
+    if flash in ("hm", "fq"):
         # Head-minor kernel consumes the residual-stream layout directly —
         # no split/merge transposes (and none of the relayout copies XLA
         # inserts between a transpose and a pallas_call). Inference-only
@@ -311,7 +325,11 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
     flash: False = exact jnp attention ([T, T] probs materialized);
     True = blockwise Pallas kernel (ops/flash.py, fwd + fused VJP — the
     training path); "hm" = head-minor forward kernel (ops/flash_enc.py,
-    inference-only, fastest: no transposes around the kernel)."""
+    inference-only: no transposes around the kernel); "fq" = fused
+    LN+QKV-projection+attention kernel (inference-only, exact — h/q/k/v
+    never round-trip HBM). "fq" self-downgrades to "hm" when LoRA adapts
+    q/k/v (the fused projections have no adapter path) or when the shape
+    exceeds the kernel's VMEM budget."""
     enc = params["encoder"]
     x = mel.transpose(0, 2, 1)                                   # [B, T, M]
     dtype = enc["conv1"]["w"].dtype
@@ -329,14 +347,23 @@ def encode(params: Params, mel: jnp.ndarray, cfg: WhisperConfig, *,
     T = x.shape[1]
     x = x + enc["pos_embed"][:T].astype(dtype)
 
-    pad = cross_pad_len(T) - T if flash == "hm" else 0
-    if pad:
-        # The hm kernel runs on a 128-aligned T; padded rows carry garbage
-        # that masked keys keep out of real rows, sliced off at the end.
-        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
-
     ctx = LoraCtx(adapter_idx, lora_scale, lora_dropout, dropout_rng)
     enc_lora = lora.get("encoder") if lora else None
+
+    if flash == "fq":
+        from sar_tpu.ops.flash_enc import fused_qkv_supported
+        lora_qkv = enc_lora is not None and any(
+            k in enc_lora for k in ("q", "k", "v"))
+        if lora_qkv or not fused_qkv_supported(cross_pad_len(T),
+                                               x.shape[-1],
+                                               cfg.encoder_heads):
+            flash = "hm"
+
+    pad = cross_pad_len(T) - T if flash in ("hm", "fq") else 0
+    if pad:
+        # The hm/fq kernels run on a 128-aligned T; padded rows carry
+        # garbage that masked keys keep out of real rows, sliced at the end.
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
 
     def body(carry, xs):
         p, lo, li = xs
@@ -585,7 +612,7 @@ class DecodeCache(NamedTuple):
       transposing each slab back per step — f32 576 MB temps at
       whisper-small B=128.)
     The self cache is always classic [L, B, H, max_len, hd]: the fused
-    head-minor self kernel exists (ops/decode_self.py) but measured
+    head-minor self kernel exists (ops/attic/decode_self.py) but measured
     per-call-overhead-bound — see the note in init_cache.
     """
     self_k: jnp.ndarray    # [L, B, H, max_len, hd] (compute dtype or int8)
@@ -721,7 +748,7 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
     self_hd = hd // 2 if self_kv_int4 else hd
     self_dtype = jnp.int8 if self_quant else dtype
     # The self cache stays CLASSIC even under head_minor: a fused head-minor
-    # self kernel (ops/decode_self.py) measured per-call-overhead-bound —
+    # self kernel (ops/attic/decode_self.py) measured per-call-overhead-bound —
     # its slabs are ~6x smaller than the cross slabs, so the pallas grid
     # overhead exceeds the dequant savings (1.54 ms/call vs the jnp path's
     # ~0.17 ms/layer at whisper-small B=128).

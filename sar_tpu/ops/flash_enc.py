@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 BLOCK_Q = 256
+LN_EPS = 1e-5
+# VMEM budget gate for the fused-QKV kernel (whole-sample x + LN scratch +
+# K/V slabs must fit; see _fused_vmem_bytes). 16 MB/core minus headroom for
+# Mosaic's own temporaries.
+FUSED_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, heads_per_group: int,
@@ -123,3 +128,190 @@ def encoder_attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Fused LN + QKV-projection + attention (inference encoder, round-4 build)
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, wv_ref,
+                  bv_ref, o_ref, h_s, k_s, v_s, *, heads_per_group: int,
+                  t_valid: int, bq: int, scaling: float):
+    """One grid cell (b, g, i): q-block i of head-group g for sample b.
+
+    Per-sample work is staged through persistent VMEM scratch exploiting the
+    TPU grid's sequential row-major execution:
+      - at (g==0, i==0): LayerNorm the whole [T, D] residual into h_s —
+        once per SAMPLE (the pre-LN x never materializes an h in HBM);
+      - at (i==0): project this group's K/V slabs [T, group] into k_s/v_s —
+        once per (sample, group), reused across all q-blocks;
+      - every cell: project the q-block [bq, group] and run the head-pair
+        masked-lane attention of `_kernel` against the resident slabs.
+    """
+    g = pl.program_id(1)
+    i = pl.program_id(2)
+    T, D = h_s.shape
+
+    @pl.when(jnp.logical_and(g == 0, i == 0))
+    def _layernorm():
+        scale = lns_ref[0].astype(jnp.float32)
+        bias = lnb_ref[0].astype(jnp.float32)
+
+        def chunk(c, _):
+            xb = x_ref[0, pl.ds(c * 128, 128), :].astype(jnp.float32)
+            mu = jnp.mean(xb, axis=1, keepdims=True)
+            var = jnp.mean(xb * xb, axis=1, keepdims=True) - mu * mu
+            y = (xb - mu) * jax.lax.rsqrt(var + LN_EPS)
+            h_s[pl.ds(c * 128, 128), :] = (y * scale + bias).astype(h_s.dtype)
+            return _
+
+        jax.lax.fori_loop(0, T // 128, chunk, None, unroll=False)
+
+    @pl.when(i == 0)
+    def _project_kv():
+        h = h_s[:]
+        k_s[:] = jax.lax.dot_general(
+            h, wk_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(k_s.dtype)
+        v_s[:] = (jax.lax.dot_general(
+            h, wv_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + bv_ref[0].astype(jnp.float32)).astype(v_s.dtype)
+
+    hq = h_s[pl.ds(i * bq, bq), :]
+    qg = ((jax.lax.dot_general(hq, wq_ref[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + bq_ref[0].astype(jnp.float32)) * scaling).astype(h_s.dtype)
+    kg = k_s[:]
+    vg = v_s[:]
+    group = qg.shape[1]
+    hd = group // heads_per_group
+
+    colmask = jax.lax.broadcasted_iota(jnp.int32, (bq, T), 1) < t_valid
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (bq, group), 1) // hd
+
+    og = None
+    inv = None
+    for j in range(heads_per_group):
+        qj = jnp.where(lane_head == j, qg, jnp.bfloat16(0))
+        s = jax.lax.dot_general(qj, kg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = jnp.where(colmask, s, NEG)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        invj = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        oj = jax.lax.dot_general(p.astype(qg.dtype), vg,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        og = oj if og is None else jnp.where(lane_head == j, oj, og)
+        inv = invj if inv is None else jnp.where(lane_head == j, invj, inv)
+    o_ref[0] = (og * inv).astype(o_ref.dtype)
+
+
+def _fused_vmem_bytes(T: int, D: int, bq: int) -> int:
+    """Rough per-core VMEM footprint of the fused kernel's resident set:
+    double-buffered x block, LN scratch, K/V slabs, weight slices, and the
+    per-head fp32 score block."""
+    bf2, f4 = 2, 4
+    return (2 * T * D * bf2            # x block (double-buffered)
+            + T * D * bf2              # h_s
+            + 2 * T * 128 * bf2        # k_s + v_s
+            + 2 * 3 * D * 128 * bf2    # wq/wk/wv slices (double-buffered)
+            + 2 * bq * T * f4          # score/prob temporaries
+            + 2 * bq * 128 * bf2)      # out block
+
+
+def _pick_bq(T: int, D: int) -> int | None:
+    """Largest q-block (divisor of T, <= BLOCK_Q) whose resident set fits
+    the VMEM budget — whisper-medium fits at bq=128 where 256 would not.
+    Blocks under 128 rows (whisper-large would need bq=8) starve the MXU;
+    those shapes keep the unfused hm path instead."""
+    floor = min(128, T)
+    for b in range(min(BLOCK_Q, T), floor - 1, -1):
+        if T % b == 0 and _fused_vmem_bytes(T, D, b) <= FUSED_VMEM_BUDGET:
+            return b
+    return None
+
+
+def fused_qkv_supported(T_padded: int, D: int, n_heads: int) -> bool:
+    """Whether the fused LN+QKV+attention kernel fits this shape (VMEM
+    budget + the head-group lane constraints shared with flash='hm')."""
+    group = min(128, D)
+    hd = D // n_heads
+    if D % group or group % hd:
+        return False
+    if T_padded % 128:
+        return False                    # chunked LN walks 128-row tiles
+    return _pick_bq(T_padded, D) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("n_heads", "t_valid",
+                                             "interpret"))
+def encoder_attention_fused(x: jnp.ndarray, ln_scale: jnp.ndarray,
+                            ln_bias: jnp.ndarray, wq: jnp.ndarray,
+                            bq_: jnp.ndarray, wk: jnp.ndarray,
+                            wv: jnp.ndarray, bv: jnp.ndarray,
+                            *, n_heads: int, t_valid: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused pre-LN + q/k/v projection + head-minor attention.
+
+    x [B, T_pad, D] is the PRE-LN residual stream; returns the attention
+    output [B, T_pad, D] (head-minor, pre-out-projection). Compared to the
+    flash='hm' path this removes four [B, T, D] HBM round-trips per layer
+    (h, q, k, v never exist in HBM) at identical MXU FLOPs: K/V slabs are
+    projected once per (sample, head-group) into VMEM scratch and reused
+    across q-blocks.
+
+    Inference-only (no VJP), exact (fp32 LN and projection accumulation,
+    fp32 softmax — parity-tested against the layer's unfused math in
+    tests/test_flash_enc.py). Query rows >= t_valid are garbage the caller
+    slices off; key columns >= t_valid are masked in-kernel. Gate shapes
+    with fused_qkv_supported()."""
+    B, T, D = x.shape
+    bq = _pick_bq(T, D)
+    group = min(128, D)
+    hd = D // n_heads
+    if D % group or group % hd:
+        raise ValueError(
+            f"fused-QKV needs head_dim ({hd}) to divide the {group}-lane "
+            f"group and the group to divide d_model ({D})")
+    if T % 128:
+        raise ValueError(f"fused-QKV needs a 128-aligned padded T, got {T}")
+    if bq is None:
+        raise ValueError(
+            f"fused-QKV resident set exceeds the VMEM budget at T={T}, "
+            f"D={D}; gate with fused_qkv_supported()")
+    per = group // hd
+    scaling = float(hd) ** -0.5
+    kernel = functools.partial(_fused_kernel, heads_per_group=per,
+                               t_valid=t_valid, bq=bq, scaling=scaling)
+    ln_scale2 = ln_scale.reshape(1, D)
+    ln_bias2 = ln_bias.reshape(1, D)
+    bq2 = bq_.reshape(1, D)
+    bv2 = bv.reshape(1, D)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, D // group, T // bq),
+        in_specs=[
+            # x: whole sample, constant across (g, i) -> fetched once per b.
+            pl.BlockSpec((1, T, D), lambda b, g, i: (b, 0, 0)),
+            pl.BlockSpec((1, D), lambda b, g, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda b, g, i: (0, 0)),
+            # Weight slices follow the head-group: [D, group] lanes.
+            pl.BlockSpec((D, group), lambda b, g, i: (0, g)),
+            pl.BlockSpec((1, group), lambda b, g, i: (0, g)),
+            pl.BlockSpec((D, group), lambda b, g, i: (0, g)),
+            pl.BlockSpec((D, group), lambda b, g, i: (0, g)),
+            pl.BlockSpec((1, group), lambda b, g, i: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, group), lambda b, g, i: (b, i, g)),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((T, D), x.dtype),          # h_s: LN'd residual
+            pltpu.VMEM((T, group), x.dtype),      # k_s
+            pltpu.VMEM((T, group), x.dtype),      # v_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, ln_scale2, ln_bias2, wq, bq2, wk, wv, bv2)

@@ -59,7 +59,7 @@ def test_all_package_imports():
     import sar_tpu.models.lora
     import sar_tpu.models.router
     import sar_tpu.models.whisper
-    import sar_tpu.ops.attention
+    import sar_tpu.ops.attic.attention
     import sar_tpu.ops.mel
     import sar_tpu.parallel.sharding
     import sar_tpu.training.callbacks

@@ -1,7 +1,7 @@
 """Fused s8-MXU self-attention decode kernel: interpret-mode parity.
 
 Mirrors tests/test_decode_cross.py for the dynamic-valid-length self kernel
-(ops/decode_self.py) and its jnp twins in whisper.py.
+(ops/attic/decode_self.py) and its jnp twins in whisper.py.
 """
 
 import jax
@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from sar_tpu.models import whisper
-from sar_tpu.ops.decode_self import (self_decode_attention,
+from sar_tpu.ops.attic.decode_self import (self_decode_attention,
                                      self_decode_reference)
 
 L, B, H, hd, MAX = 2, 6, 4, 64, 40   # B=6 -> nb=2 blocks exercise the loop

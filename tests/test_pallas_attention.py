@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sar_tpu.ops.attention import decode_attention, decode_attention_reference
+from sar_tpu.ops.attic.attention import decode_attention, decode_attention_reference
 
 
 @pytest.fixture(scope="module")
