@@ -136,12 +136,19 @@ def main():
         # int8 KV (cross + self): halves the dominant decode memory traffic;
         # 99.97% token agreement vs bf16 measured on random weights (worst
         # case for tie-breaking).
+        # Head-minor slabs feed the fused streaming kernels: the exact
+        # default decode kernel on TPU, the s8-MXU one under BENCH_SCORES.
         return whisper.init_cache(params, enc, cfg, max_len=total,
                                   cross_kv_int8=not KV_INT4,
                                   self_kv_int8=not KV_INT4,
                                   cross_kv_int4=KV_INT4,
                                   self_kv_int4=KV_INT4,
-                                  head_minor=SCORES_INT8)
+                                  head_minor=whisper.use_head_minor(
+                                      cross_kv_int8=not KV_INT4,
+                                      self_kv_int8=not KV_INT4,
+                                      cross_kv_int4=KV_INT4,
+                                      self_kv_int4=KV_INT4,
+                                      scores_int8=SCORES_INT8))
 
     # The cache is donated to the decode loop: the prep output and the loop's
     # working cache never coexist in HBM (whisper-large B=32 used to OOM on

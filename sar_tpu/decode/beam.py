@@ -104,7 +104,16 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     # head-minor jnp twin pays a per-step slab transpose, so the classic
     # layout (s8 einsum) stays the CPU/test path.
     if head_minor is None:
-        head_minor = scores_int8 and jax.default_backend() == "tpu"
+        # Auto: the fused streaming kernels (exact default / s8 opt-in)
+        # consume head-minor slabs on TPU; mesh callers pass False. On CPU
+        # the classic layout stays (both with and without scores_int8 —
+        # beam's CPU paths keep the s8/exact einsums on classic slabs).
+        if scores_int8:
+            head_minor = jax.default_backend() == "tpu"
+        else:
+            head_minor = whisper.use_head_minor(
+                cross_kv_int8=cross_kv_int8, self_kv_int8=self_kv_int8,
+                cross_kv_int4=cross_kv_int4, self_kv_int4=self_kv_int4)
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,

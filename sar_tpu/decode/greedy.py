@@ -42,7 +42,8 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                   temperature: float = 0.0,
                   rng: jnp.ndarray | None = None,
                   with_logprobs: bool = False,
-                  with_no_speech: bool = False):
+                  with_no_speech: bool = False,
+                  head_minor: bool | None = None):
     """Greedy decode. prompt_ids: [P] or [B, P] int32 (e.g. cfg.prompt_ids(lang)).
 
     Returns [B, P + max_new_tokens] int32; positions after EOS are EOS/pad.
@@ -60,14 +61,21 @@ def greedy_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     P = prompt_ids.shape[1]
     total = min(P + max_new_tokens, cfg.max_target_positions)
 
+    if head_minor is None:
+        # Head-minor slabs feed the fused streaming kernels: the exact
+        # default on TPU and the s8-MXU opt-in (whisper.use_head_minor).
+        # Mesh callers must pass head_minor=False (no SPMD rule).
+        head_minor = whisper.use_head_minor(
+            cross_kv_int8=cross_kv_int8, self_kv_int8=self_kv_int8,
+            cross_kv_int4=cross_kv_int4, self_kv_int4=self_kv_int4,
+            scores_int8=scores_int8)
     cache = whisper.init_cache(params, enc_out, cfg, max_len=total, lora=lora,
                                adapter_idx=adapter_idx, lora_scale=lora_scale,
                                cross_kv_int8=cross_kv_int8,
                                self_kv_int8=self_kv_int8,
                                cross_kv_int4=cross_kv_int4,
                                self_kv_int4=self_kv_int4,
-                               # head-minor slabs feed the fused s8 kernel
-                               head_minor=scores_int8)
+                               head_minor=head_minor)
     return greedy_decode_from_cache(
         params, cache, cfg, prompt_ids, lora=lora, adapter_idx=adapter_idx,
         lora_scale=lora_scale, scores_int8=scores_int8,

@@ -130,6 +130,14 @@ class ASREvaluator:
         flash = self.flash
         scores_int8 = self.scores_int8
 
+        # Head-minor slabs feed the fused streaming decode kernels (exact
+        # default on TPU, s8-MXU under scores_int8); mesh decodes keep the
+        # classic layout (the kernels have no SPMD rule).
+        head_minor = whisper.use_head_minor(
+            cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+            cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
+            scores_int8=scores_int8, mesh=self.mesh)
+
         def prep(params, mel):
             enc = whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
                                  flash=flash)
@@ -139,9 +147,7 @@ class ASREvaluator:
                                       self_kv_int8=kv_int8,
                                       cross_kv_int4=kv_int4,
                                       self_kv_int4=kv_int4,
-                                      # head-minor slabs feed the fused
-                                      # s8 kernel (greedy only)
-                                      head_minor=scores_int8)
+                                      head_minor=head_minor)
 
         def prep_enc_only(params, mel):
             return whisper.encode(params, mel, cfg, lora=lora, lora_scale=scale,
@@ -156,13 +162,17 @@ class ASREvaluator:
                                             scores_int8=scores_int8,
                                             return_cache=True)
 
+        # Mesh beam decodes force the classic layout; meshless defers to
+        # beam_decode's own auto (None).
+        beam_hm = False if self.mesh is not None else None
+
         def beam(params, enc, prompt):
             from sar_tpu.decode.beam import beam_decode
             return beam_decode(params, enc, cfg, prompt, num_beams=beams,
                                max_new_tokens=mnt, lora=lora, lora_scale=scale,
                                cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
                                cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
-                               scores_int8=scores_int8)
+                               scores_int8=scores_int8, head_minor=beam_hm)
 
         if self.fallback:
             from sar_tpu.evaluation.fallback import FallbackTranscriber

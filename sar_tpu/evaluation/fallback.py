@@ -145,7 +145,10 @@ class FallbackTranscriber:
             return whisper.init_cache(params, enc_out, cfg, max_len=total,
                                       lora=lora, lora_scale=lora_scale,
                                       cross_kv_int8=kv_int8,
-                                      self_kv_int8=kv_int8)
+                                      self_kv_int8=kv_int8,
+                                      head_minor=whisper.use_head_minor(
+                                          cross_kv_int8=kv_int8,
+                                          self_kv_int8=kv_int8))
 
         # temperature is a TRACED scalar (Gumbel-max in the loop): one
         # compiled decode program serves every escalation step, T=0.0

@@ -79,7 +79,10 @@ class StreamingTranscriber:
             return whisper.init_cache(params, enc, cfg, max_len=self._total,
                                       lora=lora, lora_scale=lora_scale,
                                       cross_kv_int8=kv_int8,
-                                      self_kv_int8=kv_int8)
+                                      self_kv_int8=kv_int8,
+                                      head_minor=whisper.use_head_minor(
+                                          cross_kv_int8=kv_int8,
+                                          self_kv_int8=kv_int8))
 
         def dec(params, cache, buf, plen):
             from sar_tpu.decode.greedy import greedy_decode_from_cache

@@ -607,10 +607,13 @@ class DecodeCache(NamedTuple):
       s8-MXU Pallas decode kernel (ops/decode_cross.py) streams per grid
       cell with a static (layer, batch) BlockSpec offset, with NO per-layer
       slice/reshape buffer materialization. Built by
-      init_cache(head_minor=True) — the `scores_int8` decode path.
-      (It is NOT the default because XLA can only consume it by physically
-      transposing each slab back per step — f32 576 MB temps at
-      whisper-small B=128.)
+      init_cache(head_minor=True); this IS the default TPU decode layout
+      (use_head_minor) — the exact-compute kernel
+      (ops/decode_cross.cross_decode_attention_exact) consumes it on the
+      default path and the s8-MXU kernel under `scores_int8`. It is not
+      the CPU/mesh layout: XLA can only consume it by physically
+      transposing each slab back per step (f32 576 MB temps at
+      whisper-small B=128), and the kernels have no SPMD rule.
     The self cache is always classic [L, B, H, max_len, hd]: the fused
     head-minor self kernel exists (ops/attic/decode_self.py) but measured
     per-call-overhead-bound — see the note in init_cache.
@@ -664,6 +667,30 @@ def unpack_kv4(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     lo = (p << jnp.int8(4)) >> jnp.int8(4)
     hi = p >> jnp.int8(4)
     return lo, hi
+
+
+def use_head_minor(*, cross_kv_int8: bool, self_kv_int8: bool,
+                   cross_kv_int4: bool = False, self_kv_int4: bool = False,
+                   scores_int8: bool = False, mesh=None) -> bool:
+    """Pick the cross-KV cache layout for a decode path.
+
+    Head-minor slabs ([L, B, S_pad, H*hd], DecodeCache docstring) feed the
+    fused Pallas streaming kernels — the exact-compute default
+    (ops/decode_cross.cross_decode_attention_exact) and the s8-MXU opt-in.
+    They require a full int8 KV cache (the slabs ARE int8), don't compose
+    with int4 packing, and the kernels have no SPMD rule (mesh decodes keep
+    the classic layout, whose einsums XLA partitions). On CPU the layout is
+    only chosen when scores_int8 explicitly asks for it (the jnp twins
+    exist for tests; the classic einsum path is faster there)."""
+    if mesh is not None:
+        return False
+    if not (cross_kv_int8 and self_kv_int8):
+        return False
+    if cross_kv_int4 or self_kv_int4:
+        return False
+    if scores_int8:
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
@@ -731,12 +758,34 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         raise ValueError("head_minor (the fused s8 kernel layout) does not "
                          "support int4 packing")
     dec_lora = lora.get("decoder") if lora else None
-    if cross_kv_int8 or cross_kv_int4:
+    lora_kv = dec_lora is not None and any(
+        k in dec_lora for k in ("cross_k", "cross_v"))
+    fused_hm = False
+    if head_minor and not lora_kv and jax.default_backend() == "tpu":
+        # Fused projection+quantize kernel (ops/kv_init.py): the bf16 K/V
+        # never round-trip HBM and the padded head-minor slabs + transposed
+        # scales are written directly (the jnp body's pad/transpose cost is
+        # what made head-minor prep +70 ms in round 3). Adapted cross K/V
+        # keep the jnp body (the kernel has no LoRA path).
+        from sar_tpu.ops.kv_init import (fused_kv_init,
+                                         fused_kv_init_supported)
+        fused_hm = fused_kv_init_supported(cross_pad_len(S), enc_out.shape[2],
+                                           H)
+    if fused_hm:
+        from sar_tpu.ops.kv_init import fused_kv_init
+        pad = cross_pad_len(S) - S
+        enc_pad = (jnp.pad(enc_out, [(0, 0), (0, pad), (0, 0)]) if pad
+                   else enc_out)
+        ck, cks, cv, cvs = fused_kv_init(
+            enc_pad, dec["layers"]["cross_k"]["w"],
+            dec["layers"]["cross_v"]["w"], dec["layers"]["cross_v"]["b"],
+            n_heads=H, t_valid=S)
+    elif cross_kv_int8 or cross_kv_int4:
         _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
     else:
         _, (ck, cv) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
         cks = cvs = None
-    if head_minor:
+    if head_minor and not fused_hm:
         pad = cross_pad_len(S) - S
         if pad:
             ck = jnp.pad(ck, [(0, 0), (0, 0), (0, pad), (0, 0)])
@@ -1019,7 +1068,34 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             qh = (qh[:, :, 0].reshape(B // beam_width, beam_width, H, hd)
                   .transpose(0, 2, 1, 3))               # [B/K, H, K, hd]
         head_minor = cache.cross_k.ndim == 4
-        if (head_minor and scores_int8
+        on_tpu = jax.default_backend() == "tpu"
+        if head_minor and on_tpu and not scores_int8:
+            # Exact-compute fused streaming kernel (the DEFAULT TPU decode
+            # path): the int8 slab is streamed once per (layer, sample) and
+            # dequantized in VMEM — same quantization points as the classic
+            # _attention_int8 einsum path (int8 K/V, scales factored out,
+            # fp32 softmax; q/probs never quantized), but without XLA's
+            # dequant-on-the-critical-path. Beam queries fold into extra
+            # block-diagonal rows like the s8 kernel.
+            from sar_tpu.ops.decode_cross import cross_decode_attention_exact
+            if beam_width > 1:
+                K = beam_width
+                Bs = B // K
+                Dm = H * qh.shape[-1]
+                o = cross_decode_attention_exact(
+                    qh.transpose(0, 2, 1, 3).reshape(Bs, K, Dm),
+                    cache.cross_k, cache.cross_k_scale,
+                    cache.cross_v, cache.cross_v_scale,
+                    layer=l, n_heads=H, out_dtype=dtype, beam_width=K)
+                a_merged = o.reshape(B, 1, Dm)          # [B, 1, d_model]
+            else:
+                o = cross_decode_attention_exact(
+                    qh[:, :, 0].reshape(B, -1),
+                    cache.cross_k, cache.cross_k_scale,
+                    cache.cross_v, cache.cross_v_scale,
+                    layer=l, n_heads=H, out_dtype=dtype)
+                a_merged = o[:, None, :]                # [B, 1, d_model]
+        elif (head_minor and scores_int8
                 and jax.default_backend() == "tpu"):
             # Fused s8-MXU kernel: both contractions stay int8 on the MXU
             # and the slabs are never dequantized (ops/decode_cross.py). The

@@ -26,6 +26,8 @@ dispatches (SURVEY.md §2: "no native code, no custom kernels").
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -35,9 +37,12 @@ _TILE = 128
 # Tile sizes for the kernel grid (fwd and bwd). Swept on v5e at whisper-small
 # training shapes (B=16, Tq=Tk=1536, hd=64): q=1536/k=768 won (500 ms/step
 # vs 532 at 512/512 and 689 at 256/256; 1536/1536 exhausts VMEM). See
-# PARITY.md for the full sweep.
-BLOCK_Q = 1536
-BLOCK_K = 768
+# PARITY.md for the full sweep (whisper-medium/large rows under "Round-4
+# training-path grid"). Env overrides exist for sweeps on new hardware/
+# widths; the committed defaults are the measured optimum across all three
+# whisper sizes.
+BLOCK_Q = int(os.environ.get("SAR_FLASH_BLOCK_Q", 1536))
+BLOCK_K = int(os.environ.get("SAR_FLASH_BLOCK_K", 768))
 
 
 def _pad_len(t: int) -> int:

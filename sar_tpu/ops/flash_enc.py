@@ -132,6 +132,17 @@ def encoder_attention_hm(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 # ---------------------------------------------------------------------------
 # Fused LN + QKV-projection + attention (inference encoder, round-4 build)
+#
+# MEASURED NEGATIVE RESULT (v5e, whisper-small B=128, full 12-layer encode,
+# device-fenced medians over 7 iters): flash="fq" 508.8 ms vs "hm" 493.2 at
+# bq=256, and 508.0 vs 486.0 at bq=384 — the fused kernel LOSES ~4% despite
+# eliminating four [B, T, D] HBM round-trips per layer. The encoder is
+# FLOP-bound, not bandwidth-bound, at these shapes (~46% MFU, PARITY.md):
+# the ~3 ms/layer of saved HBM traffic cannot repay fragmenting the QKV
+# projections into per-cell [T, D] x [D, 128] GEMMs (128-lane N) that the
+# XLA batched [B*T, D] x [D, D] GEMMs beat. Kept importable behind
+# encode(flash="fq") with its parity suite; "hm" stays the default
+# inference encoder path.
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, wv_ref,

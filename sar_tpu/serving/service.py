@@ -191,7 +191,11 @@ class TranscriptionService:
                                       lora=lora, lora_scale=scale,
                                       cross_kv_int8=kv, self_kv_int8=kv,
                                       cross_kv_int4=kv4, self_kv_int4=kv4,
-                                      head_minor=s8)
+                                      head_minor=whisper.use_head_minor(
+                                          cross_kv_int8=kv, self_kv_int8=kv,
+                                          cross_kv_int4=kv4,
+                                          self_kv_int4=kv4,
+                                          scores_int8=s8))
 
         def dec(params, cache, prompts):
             from sar_tpu.decode.greedy import greedy_decode_from_cache

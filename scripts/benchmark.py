@@ -27,6 +27,13 @@ def parse_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=256)
     p.add_argument("--kv_cache", type=str, nargs="+", default=["int8"],
                    choices=["int8", "bf16", "int4"])
+    p.add_argument("--kv_layout", type=str, default="auto",
+                   choices=["auto", "classic"],
+                   help="Cross-KV cache layout: auto = whisper.use_head_minor "
+                        "(head-minor slabs feeding the fused streaming decode "
+                        "kernels on TPU), classic = force the [L,B,H,S,hd] "
+                        "einsum layout (the pre-round-4 default; used to "
+                        "validate the fused path per model size)")
     p.add_argument("--attn_scores", type=str, default="bf16",
                    choices=["bf16", "int8"],
                    help="int8 runs BOTH attention matmuls on the int8 MXU "
@@ -62,6 +69,11 @@ def parse_args(argv=None):
     p.add_argument("--train_label_len", type=int, default=224,
                    help="Label length per example (448 max positions)")
     p.add_argument("--train_lora_rank", type=int, default=16)
+    p.add_argument("--train_remat", type=str, default="on",
+                   choices=["on", "off"],
+                   help="Gradient checkpointing in the train step (off = "
+                        "hold all activations; used to measure the remat "
+                        "OOM wall per model width)")
     p.add_argument("--routed", action="store_true",
                    help="Benchmark Phase-2 routed inference end-to-end: ONE "
                         "compiled LID->bank-gather->decode pass per "
@@ -304,7 +316,7 @@ def run_routed(cfg, params, batch, max_new_tokens, iters, kv, n_languages,
 
 
 def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
-              mesh=None):
+              mesh=None, remat=True):
     """Steady-state LoRA train-step throughput: one donated jitted program
     per step (accum microbatches scanned inside, AdamW + clip + schedule).
     Weight values don't affect step time, so random init measures the same
@@ -318,7 +330,8 @@ def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
 
     lcfg = lora_lib.LoraConfig(r=lora_rank, alpha=2 * lora_rank)
     bank = lora_lib.init_lora(jax.random.PRNGKey(0), cfg, lcfg)
-    targs = TrainingArgs(gradient_accumulation_steps=accum)
+    targs = TrainingArgs(gradient_accumulation_steps=accum,
+                         gradient_checkpointing=remat)
     trainer = ASRTrainer(cfg, params, bank, lcfg, targs, mesh=mesh)
 
     rng = np.random.default_rng(0)
@@ -346,13 +359,14 @@ def run_train(cfg, params, batch, accum, label_len, lora_rank, iters,
     np.asarray(loss)
     dt = (time.perf_counter() - t0) / iters
     return {"mode": "train", "batch": batch, "accum": accum,
-            "label_len": label_len, "lora_rank": lora_rank,
+            "label_len": label_len, "lora_rank": lora_rank, "remat": remat,
             "s_per_step": round(dt, 4),
             "examples_per_s": round(accum * batch / dt, 2)}
 
 
 def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
-               scores_int8=False, num_beams=1, agreement=True):
+               scores_int8=False, num_beams=1, agreement=True,
+               layout="auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -418,13 +432,18 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
         del spent
         return tokens
 
+    # classic forces the pre-round-4 einsum layout; None defers to the
+    # decoder's own auto (use_head_minor / the s8 opt-in).
+    beam_hm = False if (layout == "classic" or mesh is not None) else None
+    hm = False  # set by the greedy branch below
+
     @jax.jit
     def dec_beam(params, enc, prompt):
         return beam_decode(params, enc, cfg, prompt, num_beams=num_beams,
                            max_new_tokens=max_new_tokens,
                            cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
                            cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
-                           scores_int8=scores_int8)
+                           scores_int8=scores_int8, head_minor=beam_hm)
 
     # The timed callables are AOT-compiled (lower().compile()): jax 0.9's
     # cpp-pjit fast path miscounts kept argument buffers for the beam
@@ -441,8 +460,13 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
             enc = prep_enc_c(params, audio)
             return dec_beam_c(params, enc, prompt)
     else:
-        # scores_int8 decodes from the head-minor (fused-kernel) cache.
-        prep_c = prep.lower(params, audio, scores_int8).compile()
+        # Head-minor cache feeds the fused streaming kernels (exact default
+        # on TPU; s8-MXU under scores_int8).
+        hm = layout != "classic" and whisper.use_head_minor(
+            cross_kv_int8=kv_int8, self_kv_int8=kv_int8,
+            cross_kv_int4=kv_int4, self_kv_int4=kv_int4,
+            scores_int8=scores_int8, mesh=mesh)
+        prep_c = prep.lower(params, audio, hm).compile()
         cache0 = prep_c(params, audio)
         dec_c = dec_with_cache.lower(params, cache0, prompt,
                                      scores_int8).compile()
@@ -461,6 +485,9 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
     dt = (time.perf_counter() - t0) / iters
     row = {"batch": batch, "kv": kv,
            "attn_scores": "int8" if scores_int8 else "bf16",
+           "layout": ("head_minor" if num_beams == 1 and hm else
+                      "auto" if num_beams > 1 and beam_hm is None else
+                      "classic"),
            "num_beams": num_beams,
            "seconds_per_batch": round(dt, 4),
            "rtfx": round(batch * mel_ops.CHUNK_SECONDS / dt, 1),
@@ -474,6 +501,15 @@ def run_config(cfg, params, batch, max_new_tokens, kv, iters, mesh=None,
         a = np.asarray(out)
         b = np.asarray(dec(params, prep(params, audio, False), False))
         row["token_agreement_vs_bf16"] = round(float((a == b).mean()), 4)
+    if (num_beams == 1 and agreement and not scores_int8 and kv_int8
+            and hm):
+        # Exact-kernel promotion evidence: the fused streaming kernel is
+        # bit-compatible math with the classic einsum path (same
+        # quantization points), but float reduction order differs — record
+        # token agreement vs the classic-layout decode per model size.
+        a = np.asarray(out)
+        b = np.asarray(dec(params, prep(params, audio, False), False))
+        row["token_agreement_vs_classic"] = round(float((a == b).mean()), 4)
     if kv_int4 and num_beams == 1 and agreement:
         # int4 is coarser (15 levels/row vs int8's 255): record token
         # agreement vs the default int8-KV decode so the quantization cost
@@ -526,7 +562,8 @@ def main(argv=None):
         for b in args.batch_sizes:
             r = run_train(cfg, params, b, args.train_accum,
                           args.train_label_len, args.train_lora_rank,
-                          args.iters, mesh=mesh)
+                          args.iters, mesh=mesh,
+                          remat=args.train_remat == "on")
             rows.append(r)
             print(f"train batch={b} x accum={r['accum']}: "
                   f"{r['s_per_step']} s/step = {r['examples_per_s']} ex/s "
@@ -596,7 +633,8 @@ def main(argv=None):
                                    kv, args.iters, mesh=mesh,
                                    scores_int8=args.attn_scores == "int8",
                                    num_beams=nb,
-                                   agreement=not args.no_agreement)
+                                   agreement=not args.no_agreement,
+                                   layout=args.kv_layout)
                 except Exception as e:
                     logger.warning("config batch=%d kv=%s beams=%d failed: %s",
                                    b, kv, nb, e)
