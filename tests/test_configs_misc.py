@@ -3,6 +3,10 @@ config checks), package imports, and profiling utils."""
 
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 ROOT = Path(__file__).resolve().parent.parent
 
 

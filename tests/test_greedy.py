@@ -9,6 +9,8 @@ from sar_tpu.decode import greedy_decode, transcribe_tokens
 from sar_tpu.models import whisper
 from sar_tpu.models.config import get_config
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def setup():

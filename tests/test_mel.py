@@ -7,6 +7,8 @@ import pytest
 
 from sar_tpu.ops import mel as mel_ops
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def hf_fe():

@@ -3,6 +3,7 @@ mirroring the semantics of /root/reference/src/training/metrics.py and
 src/data/collate.py."""
 
 import numpy as np
+import pytest
 
 from sar_tpu.data.collate import LABEL_PAD, create_collator
 from sar_tpu.data.loader import DataLoader
@@ -12,6 +13,8 @@ from sar_tpu.training.metrics import (analyze_errors, compute_cer,
                                       compute_metrics,
                                       compute_metrics_per_sample, compute_wer,
                                       edit_distance)
+
+pytestmark = pytest.mark.smoke
 
 
 def test_wer_exact_match_zero():

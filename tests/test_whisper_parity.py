@@ -11,6 +11,8 @@ import torch
 from sar_tpu.models import convert, whisper
 from sar_tpu.models.config import MODEL_CONFIGS
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def tiny():
