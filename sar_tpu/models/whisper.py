@@ -69,13 +69,26 @@ class LoraCtx(NamedTuple):
 
 def lora_delta(x: jnp.ndarray, la: jnp.ndarray, lb: jnp.ndarray,
                ctx: LoraCtx, salt: int) -> jnp.ndarray:
-    """Low-rank delta `scale * (x @ A) @ B` with per-utterance adapter gather.
+    """Low-rank delta `scale * (x @ A) @ B` with per-utterance adapter routing.
 
     la: [A, d_in, r], lb: [A, r, d_out] (the adapter bank for one layer/target;
     the leading stack axis is consumed by lax.scan). x: [B, T, d_in].
 
     This is the batched BGMV that replaces the reference's per-sample Python
     dispatch loop (/root/reference/src/models/adapter_router.py:599-625).
+
+    Routing is MASKED-DENSE, not gathered: x is contracted against ALL A
+    adapters as one [d_in, A*r] GEMM, the non-selected rank blocks are zeroed
+    with a one-hot mask, and the result contracts through the flattened
+    [A*r, d_out] B bank — two dense MXU GEMMs and a VPU multiply. The earlier
+    per-sample gather (`la[adapter_idx] -> [B, d, r]` + batched [1, d]x[d, r]
+    GEMMs) re-materialized ~300 MB of gathered slices per decode step at
+    whisper-small B=128 r=16 and fed the MXU degenerate single-row batched
+    matmuls — it measured 2.7x slower end-to-end than unadapted decode
+    (ROUTED_BENCH r04). With A = n_languages (4), the extra A*x FLOPs of the
+    dense form are noise next to the base projections. Zeroing after the
+    first GEMM keeps per-sample numerics equal to the single-adapter path up
+    to fp32-accumulation reassociation (masked blocks contribute exact +0.0).
     """
     if ctx.rng is not None and ctx.dropout > 0.0:
         keep = jax.random.bernoulli(jax.random.fold_in(ctx.rng, salt),
@@ -84,10 +97,14 @@ def lora_delta(x: jnp.ndarray, la: jnp.ndarray, lb: jnp.ndarray,
     if ctx.adapter_idx is None:
         u = jnp.einsum("btd,dr->btr", x, la[0].astype(x.dtype))
         return ctx.scale * jnp.einsum("btr,rd->btd", u, lb[0].astype(x.dtype))
-    la_sel = la[ctx.adapter_idx].astype(x.dtype)                 # [B, d, r]
-    lb_sel = lb[ctx.adapter_idx].astype(x.dtype)                 # [B, r, d]
-    u = jnp.einsum("btd,bdr->btr", x, la_sel)
-    return ctx.scale * jnp.einsum("btr,brd->btd", u, lb_sel)
+    A, d_in, r = la.shape
+    B, T = x.shape[0], x.shape[1]
+    laf = la.transpose(1, 0, 2).reshape(d_in, A * r).astype(x.dtype)
+    lbf = lb.reshape(A * r, lb.shape[-1]).astype(x.dtype)
+    u = jnp.einsum("btd,dc->btc", x, laf)                        # [B, T, A*r]
+    sel = jax.nn.one_hot(ctx.adapter_idx, A, dtype=x.dtype)      # [B, A]
+    u = (u.reshape(B, T, A, r) * sel[:, None, :, None]).reshape(B, T, A * r)
+    return ctx.scale * jnp.einsum("btc,cd->btd", u, lbf)
 
 
 def _proj(x: jnp.ndarray, p: Params, lora: Params | None,
@@ -758,28 +775,41 @@ def init_cache(params: Params, enc_out: jnp.ndarray, cfg: WhisperConfig,
         raise ValueError("head_minor (the fused s8 kernel layout) does not "
                          "support int4 packing")
     dec_lora = lora.get("decoder") if lora else None
-    lora_kv = dec_lora is not None and any(
-        k in dec_lora for k in ("cross_k", "cross_v"))
+    lora_ck = dec_lora is not None and "cross_k" in dec_lora
+    lora_cv = dec_lora is not None and "cross_v" in dec_lora
     fused_hm = False
-    if head_minor and not lora_kv and jax.default_backend() == "tpu":
+    if head_minor and not lora_ck and jax.default_backend() == "tpu":
         # Fused projection+quantize kernel (ops/kv_init.py): the bf16 K/V
         # never round-trip HBM and the padded head-minor slabs + transposed
         # scales are written directly (the jnp body's pad/transpose cost is
-        # what made head-minor prep +70 ms in round 3). Adapted cross K/V
-        # keep the jnp body (the kernel has no LoRA path).
-        from sar_tpu.ops.kv_init import (fused_kv_init,
-                                         fused_kv_init_supported)
+        # what made head-minor prep +70 ms in round 3). Adapted cross_v
+        # (the reference's q_proj/v_proj target set reaches it) rides the
+        # kernel's LoRA path with bank slices gathered ONCE here — the
+        # adapter index is frozen for the whole decode. Banks adapting
+        # cross_k (not a reference target) keep the jnp body.
+        from sar_tpu.ops.kv_init import fused_kv_init_supported
+        r_lora = dec_lora["cross_v"]["a"].shape[-1] if lora_cv else 0
         fused_hm = fused_kv_init_supported(cross_pad_len(S), enc_out.shape[2],
-                                           H)
+                                           H, r_lora)
     if fused_hm:
         from sar_tpu.ops.kv_init import fused_kv_init
         pad = cross_pad_len(S) - S
         enc_pad = (jnp.pad(enc_out, [(0, 0), (0, pad), (0, 0)]) if pad
                    else enc_out)
+        kw = {}
+        if lora_cv:
+            a = dec_lora["cross_v"]["a"]                  # [L, A, d, r]
+            b = dec_lora["cross_v"]["b"]                  # [L, A, r, d]
+            if adapter_idx is None:
+                va, vb = a[:, :1], b[:, :1]               # one shared adapter
+            else:
+                va, vb = a[:, adapter_idx], b[:, adapter_idx]  # [L, B, d, r]
+            kw = dict(va=va.astype(dtype), vb=vb.astype(dtype),
+                      lora_scale=lora_scale)
         ck, cks, cv, cvs = fused_kv_init(
             enc_pad, dec["layers"]["cross_k"]["w"],
             dec["layers"]["cross_v"]["w"], dec["layers"]["cross_v"]["b"],
-            n_heads=H, t_valid=S)
+            n_heads=H, t_valid=S, **kw)
     elif cross_kv_int8 or cross_kv_int4:
         _, (ck, cks, cv, cvs) = jax.lax.scan(body, None, (dec["layers"], dec_lora))
     else:
@@ -952,6 +982,51 @@ def _self_attention_int8_hm(qh, kq, ks, vq, vs, valid):
                       preferred_element_type=jnp.float32).astype(dtype)
 
 
+def _self_attention_beam(qh, sk, sv, sks, svs, anc, pos, beam_width):
+    """Reorder-free beam self-attention over a slot-major physical cache.
+
+    The self cache holds one slab per (sample, slot): slot j's row at
+    position t was written by the logical beam occupying slot j at step t
+    and is NEVER moved — the classic per-step reorder_cache gather (a full
+    read + write of the self cache every step, the dominant residual beam
+    cost measured in round 3/4) is replaced by `anc` [Bs, K, T] int32: the
+    slot that wrote the history row t of CURRENT logical beam k (composed
+    per step in sar_tpu.decode.beam for ~B*K*T int32 traffic). Attention
+    computes scores for ALL J=K slots and keeps the ancestry-selected
+    (j, t) entries; the softmax runs over the joint (j, t) axis — exactly
+    one slot is live per position, so it equals the per-position softmax
+    bit-for-bit on the selected entries. The slab streams ONCE per sample
+    (shared by its K beams, like the cross slabs) and the extra K*J score/
+    PV FLOPs are MXU-noise.
+
+    qh [Bs*K, H, 1, hd] beam-major rows; sk/sv [Bs*K, H, T, hd] (int8 when
+    sks/svs are given, else compute dtype); sks/svs [Bs*K, H, T] fp32.
+    Returns [Bs*K, H, 1, hd].
+    """
+    BK, H, T, hd = sk.shape
+    K = beam_width
+    Bs = BK // K
+    dtype = qh.dtype
+    q = qh[:, :, 0].reshape(Bs, K, H, hd)
+    k = sk.reshape(Bs, K, H, T, hd)
+    v = sv.reshape(Bs, K, H, T, hd)
+    scores = jnp.einsum("bkhd,bjhtd->bhkjt", q, k.astype(dtype),
+                        preferred_element_type=jnp.float32)
+    if sks is not None:
+        scores = scores * sks.reshape(Bs, K, H, T).transpose(0, 2, 1, 3)[:, :, None]
+    live = (anc[:, None, :, None, :]
+            == jnp.arange(K, dtype=anc.dtype)[None, None, None, :, None])
+    live = live & (jnp.arange(T)[None, None, None, None, :] <= pos)
+    scores = jnp.where(live, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores.reshape(Bs, H, K, K * T),
+                           axis=-1).reshape(Bs, H, K, K, T)
+    if svs is not None:
+        probs = probs * svs.reshape(Bs, K, H, T).transpose(0, 2, 1, 3)[:, :, None]
+    out = jnp.einsum("bhkjt,bjhtd->bkhd", probs.astype(dtype), v.astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+    return out.reshape(BK, H, 1, hd)
+
+
 def _self_attention_int8_mxu_hm(qh, kq, ks, vq, vs, valid):
     """Head-minor self twin of the fused s8 kernel's math (q and probs
     quantized, both contractions int8xint8->int32; CPU/test path)."""
@@ -977,7 +1052,8 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
                 adapter_idx: jnp.ndarray | None = None,
                 lora_scale: float = 1.0,
                 scores_int8: bool = False,
-                beam_width: int = 1) -> tuple[jnp.ndarray, DecodeCache]:
+                beam_width: int = 1,
+                ancestry: jnp.ndarray | None = None) -> tuple[jnp.ndarray, DecodeCache]:
     """One autoregressive step. tokens: [B] int32 at position `pos` (scalar).
 
     Returns (logits [B, V] fp32, updated cache). Shapes are static; safe
@@ -990,6 +1066,14 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     per sample: the K beam queries are folded into the attention's query
     dimension, so cross-KV — the dominant decode traffic (S=1500) — is
     read once per sample instead of once per beam.
+
+    `ancestry` [B/K, K, max_len] int32 (beam mode only) switches the self
+    cache to SLOT-MAJOR semantics: rows are never physically reordered by
+    the caller; instead anc[b, k, t] names the slot whose row t belongs to
+    logical beam k's history (see _self_attention_beam). Column `pos` must
+    be the identity (each beam writes its own slot this step). Not
+    composable with int4 self-KV or scores_int8 (those paths keep the
+    physical reorder).
     """
     dec = params["decoder"]
     B = tokens.shape[0]
@@ -1009,6 +1093,10 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
     if scores_int8 and (self_int4 or cross_int4):
         raise ValueError("scores_int8 (the s8-MXU path) does not compose "
                          "with int4-packed KV")
+    if ancestry is not None and (beam_width <= 1 or self_int4 or scores_int8):
+        raise ValueError("ancestry (reorder-free beam self-attention) needs "
+                         "beam_width > 1 and does not compose with int4 "
+                         "self-KV or scores_int8")
     attn_int8 = _attention_int8_mxu if scores_int8 else _attention_int8
 
     x = dec["token_embed"][tokens][:, None, :].astype(dtype)      # [B, 1, d]
@@ -1045,15 +1133,25 @@ def decode_step(params: Params, tokens: jnp.ndarray, pos: jnp.ndarray,
             sv_all = jax.lax.dynamic_update_slice(sv_all, vq[None], (l, 0, 0, pos, 0))
             sks_all = jax.lax.dynamic_update_slice(sks_all, ks[None], (l, 0, 0, pos))
             svs_all = jax.lax.dynamic_update_slice(svs_all, vs[None], (l, 0, 0, pos))
-            self_fn = _attention_int4 if self_int4 else attn_int8
-            a = self_fn(split_heads(q, H), sk_all[l], sks_all[l],
-                        sv_all[l], svs_all[l], mask=pos_mask)
+            if ancestry is not None:
+                a = _self_attention_beam(split_heads(q, H), sk_all[l],
+                                         sv_all[l], sks_all[l], svs_all[l],
+                                         ancestry, pos, beam_width)
+            else:
+                self_fn = _attention_int4 if self_int4 else attn_int8
+                a = self_fn(split_heads(q, H), sk_all[l], sks_all[l],
+                            sv_all[l], svs_all[l], mask=pos_mask)
             a_self = merge_heads(a)
         else:
             k, v = split_heads(kf, H), split_heads(vf, H)
             sk_all = jax.lax.dynamic_update_slice(sk_all, k[None], (l, 0, 0, pos, 0))
             sv_all = jax.lax.dynamic_update_slice(sv_all, v[None], (l, 0, 0, pos, 0))
-            a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
+            if ancestry is not None:
+                a = _self_attention_beam(split_heads(q, H), sk_all[l],
+                                         sv_all[l], None, None,
+                                         ancestry, pos, beam_width)
+            else:
+                a = attention(split_heads(q, H), sk_all[l], sv_all[l], pos_mask)
             a_self = merge_heads(a)
         x = x + _proj(a_self, p["self_o"], lo.get("self_o"), ctx, 3)
         # Cross-attention against precomputed head-minor K/V ([B,S_pad,H,hd];
