@@ -30,9 +30,13 @@ Performance note: cross K/V — the dominant decode traffic (S=1500) — are
 stored ONCE per sample and shared across its beams: `decode_step(beam_width=K)`
 folds the K beam queries into the attention's query dimension, so each step
 streams the cross slab once instead of K times (HF/t5x repeat it per beam).
-The remaining beam overhead is the per-step self-cache gather along the beam
-axis (the classic reorder_cache cost) — bounded by max_target_positions=448
-rows vs the 1500-frame cross slab. Use int8 KV flags to halve both.
+The classic per-step reorder_cache gather (a full self-cache read+write per
+step — measured as the dominant residual beam cost through round 4) is gone
+on the default path: the self cache is slot-major and never moves; a
+[B, K, total] int32 ancestry matrix is permuted instead, and the attention
+selects each beam's history rows in-register (whisper._self_attention_beam).
+int4 self-KV and the s8-MXU opt-in keep the physical reorder. Use int8 KV
+flags to halve the slab traffic.
 """
 
 from __future__ import annotations
@@ -133,6 +137,18 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
     begin_suppress = (jnp.asarray(begin_suppress_ids, jnp.int32)
                       if begin_suppress_ids else None)
 
+    # Reorder-free self cache (the default): slots are never physically
+    # gathered; an ancestry matrix anc[b, k, t] — the slot that wrote row t
+    # of logical beam k's history — is composed per step instead (int32,
+    # ~B*K*total bytes vs a full self-cache read+write per step; see
+    # whisper._self_attention_beam). int4 self-KV and the s8-MXU kernel
+    # keep the physical-reorder path.
+    use_anc = K > 1 and not (self_kv_int4 or scores_int8)
+    anc0 = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                            (B, K, total))
+    ident_col = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                 (B, K, 1))
+
     run_seqs = jnp.full((B, K, total), eos, jnp.int32)
     run_seqs = run_seqs.at[:, :, :P].set(prompt_ids[:, None, :])
     run_scores = jnp.tile(
@@ -150,21 +166,27 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
 
     def make_cond(pos_hi):
         def cond(state):
-            pos, *_, unsat, _ = state
+            pos, *_, unsat, _, _ = state
             return (pos < pos_hi) & jnp.any(unsat)
         return cond
 
     def body(state):
         (pos, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags,
-         unsat, mutable) = state
+         unsat, anc, mutable) = state
         sk, sv, sks, svs = mutable
         step_cache = cross._replace(self_k=sk, self_v=sv,
                                     self_k_scale=sks, self_v_scale=svs)
         flat_tok = run_seqs.reshape(B * K, total)[:, pos]
+        anc_step = None
+        if use_anc:
+            # This step writes each logical beam's row into its own slot:
+            # column `pos` is the identity by construction.
+            anc = jax.lax.dynamic_update_slice(anc, ident_col, (0, 0, pos))
+            anc_step = jax.lax.slice_in_dim(anc, 0, sk.shape[3], axis=2)
         logits, step_cache = whisper.decode_step(
             params, flat_tok, pos, step_cache, cfg, lora=lora,
             adapter_idx=idx_k, lora_scale=lora_scale,
-            scores_int8=scores_int8, beam_width=K)
+            scores_int8=scores_int8, beam_width=K, ancestry=anc_step)
         # Two-stage exact top-2K (HF semantics: suppression masks log-probs
         # WITHOUT renormalizing, so suppressed tokens still contribute
         # softmax mass). Selection runs on raw logits — log_softmax is
@@ -261,16 +283,25 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         new_fin_scores = jnp.where(in_prompt, fin_scores, new_fin_scores)
         new_fin_flags = jnp.where(in_prompt, fin_flags, new_fin_flags)
 
-        # Reorder ONLY the self cache (+ its scales): alive_src stays within
-        # a sample, and cross K/V are identical across a sample's beams —
-        # their reorder would be a multi-GB no-op. The carried buffers hold
-        # only the current segment's prefix, so the gather moves ~the valid
-        # rows, not all `total`.
-        cgather = (jnp.arange(B)[:, None] * K + alive_src).reshape(-1)
-        mutable = tuple(None if x is None else x[:, cgather]
-                        for x in (step_cache.self_k, step_cache.self_v,
-                                  step_cache.self_k_scale,
-                                  step_cache.self_v_scale))
+        if use_anc:
+            # Compose the ancestry permutation instead of moving cache rows:
+            # new beam k's history is old beam alive_src[k]'s history (the
+            # row just written at `pos` included — its slot is alive_src[k]
+            # because column pos was the identity before this gather).
+            anc = jnp.take_along_axis(anc, alive_src[:, :, None], axis=1)
+            mutable = (step_cache.self_k, step_cache.self_v,
+                       step_cache.self_k_scale, step_cache.self_v_scale)
+        else:
+            # Physical reorder (int4 / s8-MXU paths): gather ONLY the self
+            # cache (+ its scales) — alive_src stays within a sample, and
+            # cross K/V are identical across a sample's beams. The carried
+            # buffers hold only the current segment's prefix, so the gather
+            # moves ~the valid rows, not all `total`.
+            cgather = (jnp.arange(B)[:, None] * K + alive_src).reshape(-1)
+            mutable = tuple(None if x is None else x[:, cgather]
+                            for x in (step_cache.self_k, step_cache.self_v,
+                                      step_cache.self_k_scale,
+                                      step_cache.self_v_scale))
 
         # early_stopping=False heuristic: improvement still possible while the
         # best running beam, if it ended at the current generated length,
@@ -286,7 +317,7 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         new_unsat = jnp.where(in_prompt, unsat, unsat & still)
 
         return (pos + 1, new_run_seqs, new_run_scores, new_fin_seqs,
-                new_fin_scores, new_fin_flags, new_unsat, mutable)
+                new_fin_scores, new_fin_flags, new_unsat, anc, mutable)
 
     def tslice(x, hi):
         return None if x is None else jax.lax.slice_in_dim(x, 0, hi, axis=3)
@@ -303,7 +334,7 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
         n_seg = (total - 2) // segment + 1
         hi = min(segment, total)
         state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
-                 fin_flags, unsatisfied,
+                 fin_flags, unsatisfied, anc0,
                  tuple(tslice(x, hi) for x in mutable0))
         for s in range(n_seg):
             pos_hi = min((s + 1) * segment, total - 1)
@@ -315,9 +346,9 @@ def beam_decode(params: dict, enc_out: jnp.ndarray, cfg: WhisperConfig,
                 hi = next_hi
     else:
         state = (jnp.int32(0), run_seqs, run_scores, fin_seqs, fin_scores,
-                 fin_flags, unsatisfied, mutable0)
+                 fin_flags, unsatisfied, anc0, mutable0)
         state = jax.lax.while_loop(make_cond(total - 1), body, state)
-    (_, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags, _, _) = state
+    (_, run_seqs, run_scores, fin_seqs, fin_scores, fin_flags, _, _, _) = state
 
     # Finished slots are kept sorted descending by the top_k merge; slot 0 is
     # the best hypothesis (max-length finalization guarantees it exists).
