@@ -150,7 +150,7 @@ def _cell_body(x, wk, wv, bv, kq_ref, ks_ref, vq_ref, vs_ref, v_extra32,
                               preferred_element_type=jnp.float32)
     kq, ksc = _quantize_rows(k32, nh_blk, rowmask, cdt)
     kq_ref[0, 0] = kq
-    ks_ref[0, 0] = ksc.T                                       # [HG, CS]
+    ks_ref[0, 0, 0] = ksc.T                                    # [HG, CS]
 
     v32 = (jax.lax.dot_general(x, wv, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -159,7 +159,7 @@ def _cell_body(x, wk, wv, bv, kq_ref, ks_ref, vq_ref, vs_ref, v_extra32,
         v32 = v32 + v_extra32
     vq, vsc = _quantize_rows(v32, nh_blk, rowmask, cdt)
     vq_ref[0, 0] = vq
-    vs_ref[0, 0] = vsc.T
+    vs_ref[0, 0, 0] = vsc.T
 
 
 def _kernel(x_ref, wk_ref, wv_ref, bv_ref, kq_ref, ks_ref, vq_ref, vs_ref,
@@ -241,23 +241,31 @@ def fused_kv_init(enc_pad: jnp.ndarray, wk: jnp.ndarray, wv: jnp.ndarray,
     else:
         kernel = functools.partial(_kernel, nh_blk=nh_blk, t_valid=t_valid,
                                    cs=cs)
-    return pl.pallas_call(
+    # Scales carry an explicit G axis so the block's second-minor dim equals
+    # the full array dim (nh_blk) — a (1, 1, nh_blk, cs) block over
+    # [L, B, H, S_pad] is an ILLEGAL TPU tiling when G > 1 (nh_blk is then
+    # neither 8-divisible nor the whole H, e.g. 10 of 20 at whisper-large).
+    # G * nh_blk = H on adjacent axes, so the reshape back is free.
+    kq, ks, vq, vs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, cs, DG), lambda l, g, b, c: (l, b, c, g)),
-            pl.BlockSpec((1, 1, nh_blk, cs), lambda l, g, b, c: (l, b, g, c)),
+            pl.BlockSpec((1, 1, 1, nh_blk, cs),
+                         lambda l, g, b, c: (l, b, g, 0, c)),
             pl.BlockSpec((1, 1, cs, DG), lambda l, g, b, c: (l, b, c, g)),
-            pl.BlockSpec((1, 1, nh_blk, cs), lambda l, g, b, c: (l, b, g, c)),
+            pl.BlockSpec((1, 1, 1, nh_blk, cs),
+                         lambda l, g, b, c: (l, b, g, 0, c)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((L, B, S_pad, D), jnp.int8),
-            jax.ShapeDtypeStruct((L, B, H, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, G, nh_blk, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((L, B, S_pad, D), jnp.int8),
-            jax.ShapeDtypeStruct((L, B, H, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, G, nh_blk, S_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4),
         interpret=interpret,
     )(*operands)
+    return (kq, ks.reshape(L, B, H, S_pad), vq, vs.reshape(L, B, H, S_pad))
