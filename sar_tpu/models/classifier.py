@@ -243,13 +243,19 @@ def predict_language(params, ccfg, hidden_states, attention_mask=None):
 # ---------------------------------------------------------------------------
 
 def encode_features(base_params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
-                    layer_index: int = -1) -> jnp.ndarray:
+                    layer_index: int = -1,
+                    flash: bool | str = False) -> jnp.ndarray:
     """Frozen encoder features for LID. layer_index=-1 -> final post-LN output
-    (last_hidden_state); k >= 0 -> output of encoder layer k (0-based)."""
+    (last_hidden_state); k >= 0 -> output of encoder layer k (0-based).
+
+    `flash`: attention dispatch, same values as whisper.encode — pass "hm"
+    on a single TPU chip (the head-minor inference kernel; no SPMD rule, so
+    mesh callers keep the default exact jnp attention)."""
     from sar_tpu.models import whisper
 
     if layer_index == -1:
-        return jax.lax.stop_gradient(whisper.encode(base_params, mel, cfg))
+        return jax.lax.stop_gradient(
+            whisper.encode(base_params, mel, cfg, flash=flash))
 
     enc = base_params["encoder"]
     dtype = enc["conv1"]["w"].dtype
@@ -275,12 +281,24 @@ def encode_features(base_params: dict, mel: jnp.ndarray, cfg: WhisperConfig,
                          f"{L}-layer encoder")
     tapped = jax.tree.map(lambda a: a[:k + 1], enc["layers"])
 
+    T = x.shape[1]
+    if flash == "fq":
+        flash = "hm"            # no LoRA here, but fq buys nothing for taps
+    pad = whisper.cross_pad_len(T) - T if flash == "hm" else 0
+    if pad:
+        # Same convention as whisper.encode: the hm kernel runs on a
+        # 128-aligned T; masked keys keep padded rows out of real rows.
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+
     def body(carry, p):
         y = whisper._enc_layer_apply(carry, p, None, whisper.LoraCtx(),
-                                     cfg.encoder_heads)
+                                     cfg.encoder_heads, flash=flash,
+                                     t_valid=T)
         return y, None
 
     x, _ = jax.lax.scan(body, x, tapped)
+    if pad:
+        x = x[:, :T]
     return jax.lax.stop_gradient(x)
 
 

@@ -50,8 +50,14 @@ class AdapterRouter:
     clf_cfg: clf.ClassifierConfig
     strategy: str = "hard"          # hard | soft | threshold
     threshold: float = 0.7
+    # Encoder attention dispatch for the inference paths (LID features +
+    # banked encode): None -> "hm" on a single TPU chip, exact jnp
+    # elsewhere. Mesh callers must pass False (the kernel has no SPMD rule).
+    flash: bool | str | None = None
 
     def __post_init__(self):
+        if self.flash is None:
+            self.flash = "hm" if jax.default_backend() == "tpu" else False
         self.languages = list(self.clf_cfg.languages)
         self.lang_to_idx = {l: i for i, l in enumerate(self.languages)}
         # Per-language decoder prompts, stacked [A, P] for on-device gather.
@@ -61,7 +67,8 @@ class AdapterRouter:
     # -- LID ---------------------------------------------------------------
     def extract_encoder_features(self, input_features: jnp.ndarray) -> jnp.ndarray:
         """Frozen base-encoder features (parity with :536-548)."""
-        return clf.encode_features(self.base_params, input_features, self.cfg)
+        return clf.encode_features(self.base_params, input_features, self.cfg,
+                                   flash=self.flash)
 
     def detect_language(self, encoder_hidden_states) -> tuple[list[str], jnp.ndarray]:
         """(language names, probs); parity with :550-566."""
@@ -127,7 +134,8 @@ class AdapterRouter:
         else:
             enc = whisper.encode(self.base_params, input_features, self.cfg,
                                  lora=self.bank, adapter_idx=adapter_idx,
-                                 lora_scale=self.lora_cfg.scale)
+                                 lora_scale=self.lora_cfg.scale,
+                                 flash=self.flash)
             out["encoder_out"] = enc
         return out
 
@@ -171,7 +179,7 @@ class AdapterRouter:
             idx = idx.astype(jnp.int32)
         enc = whisper.encode(self.base_params, input_features, self.cfg,
                              lora=self.bank, adapter_idx=idx,
-                             lora_scale=self.lora_cfg.scale)
+                             lora_scale=self.lora_cfg.scale, flash=self.flash)
         prompts = self._prompts[idx]                      # [B, P]
         return greedy_decode(self.base_params, enc, self.cfg, prompts,
                              max_new_tokens=max_new_tokens, lora=self.bank,

@@ -132,10 +132,16 @@ class LIDTrainer:
 
     def _build_steps(self):
         cfg, ccfg, args = self.cfg, self.clf_cfg, self.args
+        # hm encoder kernel on a single TPU chip; exact jnp attention under
+        # a mesh (no SPMD rule) or on CPU. Value-only through stop_gradient,
+        # so the kernel's missing VJP is irrelevant here.
+        flash = ("hm" if self.mesh is None
+                 and jax.default_backend() == "tpu" else False)
 
         def features(base_params, mel):
             return clf.encode_features(base_params, mel, cfg,
-                                       layer_index=args.encoder_layer)
+                                       layer_index=args.encoder_layer,
+                                       flash=flash)
 
         def loss_fn(params, base_params, mel, labels, rng):
             feats = features(base_params, mel)

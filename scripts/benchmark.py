@@ -251,7 +251,8 @@ def run_routed(cfg, params, batch, max_new_tokens, iters, kv, n_languages,
         return feats[:, :, :cfg.num_audio_frames]
 
     def detect(params, clf_params, feats):
-        hid = clf.encode_features(params, feats, cfg, layer_index=lid_layer)
+        hid = clf.encode_features(params, feats, cfg, layer_index=lid_layer,
+                                  flash=flash)
         idx, _ = clf.predict(clf_params, ccfg, hid)
         return idx.astype(jnp.int32)
 

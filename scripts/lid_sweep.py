@@ -101,10 +101,11 @@ def main(argv=None):
     mel = jnp.asarray(rng.standard_normal(
         (args.batch_size, cfg.num_mel_bins, cfg.num_audio_frames)) * 0.1,
         jnp.bfloat16)
+    flash = "hm" if jax.default_backend() == "tpu" else False
     tap_ms = {}
     for layer in args.layers:
         feats_fn = jax.jit(lambda p, m, layer=layer: clf.encode_features(
-            p, m, cfg, layer_index=layer))
+            p, m, cfg, layer_index=layer, flash=flash))
         out = feats_fn(params, mel)
         np.asarray(out[0, 0])                        # warm + fence
         t0 = time.perf_counter()
