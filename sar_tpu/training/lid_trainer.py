@@ -235,6 +235,144 @@ class LIDTrainer:
         return history
 
     # ------------------------------------------------------------------
+    # Frozen-encoder feature caching. The encoder never trains (it runs
+    # under stop_gradient — the reference extracts features with
+    # torch.no_grad() every step, /root/reference/scripts/train_router.py:
+    # 436-454), so its outputs per sample are CONSTANT across the whole run.
+    # Precompute them once per tap layer, keep them device-resident, and
+    # train the head on indexed slices: no per-step mel transfer, no
+    # repeated encoder FLOPs. At whisper-small a cached head step is ~100x
+    # cheaper than a streaming one. Opt-in (scripts/train_router.py
+    # --cache_features): the cache is [N, T_enc, d_model] bf16 on device
+    # (~2.3 MB/sample at whisper-small), so it fits HBM only for
+    # head-training-scale corpora. Single-host path (mesh=None).
+    def precompute_features(self, loader):
+        """Run the frozen encoder once over `loader` -> (feats, labels) on
+        device. Features depend on encoder_layer but NOT on pooling, so one
+        cache serves every head architecture at that tap."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "feature caching is a single-host fast path; under a mesh "
+                "use the streaming train() (encoder cost is sharded there)")
+        flash = "hm" if jax.default_backend() == "tpu" else False
+        fn = jax.jit(lambda bp, mel: clf.encode_features(
+            bp, mel, self.cfg, layer_index=self.args.encoder_layer,
+            flash=flash))
+        feats, labels = [], []
+        for batch in loader.one_epoch():
+            mel = jnp.asarray(np.asarray(batch["input_features"]))
+            feats.append(fn(self.base_params, mel))
+            labels.append(np.asarray(batch["language_ids"]))
+        return (jnp.concatenate(feats, axis=0),
+                jnp.asarray(np.concatenate(labels), jnp.int32))
+
+    def train_cached(self, feats, labels, batch_size: int = 32,
+                     eval_feats=None, eval_labels=None) -> dict:
+        """train(), but over a device-resident feature cache from
+        precompute_features(). Semantics match the streaming path with
+        gradient_accumulation_steps=1 (the head is a few matmuls — there is
+        nothing to accumulate over); epochs are host-side permutations, and
+        only [B] int32 index vectors cross to the device per step."""
+        args, ccfg = self.args, self.clf_cfg
+
+        def step(params, opt_state, feats, labels, idx, rng):
+            mb = jnp.take(feats, idx, axis=0)
+            lb = jnp.take(labels, idx, axis=0)
+
+            def loss_fn(p):
+                return clf.apply_classifier(p, ccfg, mb, labels=lb,
+                                            train=True, rng=rng)["loss"]
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(g, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u.astype(p.dtype),
+                                  params, updates)
+            return params, opt_state, loss
+
+        step_j = jax.jit(step, donate_argnums=(0, 1))
+        n = int(feats.shape[0])
+        rng_np = np.random.default_rng(args.seed)
+        perm: list[int] = []
+        for cb in self.callbacks:
+            cb.on_train_begin(self)
+        history: dict = {"loss": [], "eval": []}
+        if eval_feats is not None:
+            history["eval"].append(
+                {"step": 0, **self.evaluate_cached(eval_feats, eval_labels)})
+        t0 = time.time()
+        while self.global_step < args.max_steps:
+            if len(perm) < batch_size:
+                perm.extend(rng_np.permutation(n).tolist())
+            idx = jnp.asarray(np.asarray(perm[:batch_size], np.int32))
+            del perm[:batch_size]
+            self._rng, r = jax.random.split(self._rng)
+            self.params, self.opt_state, loss = step_j(
+                self.params, self.opt_state, feats, labels, idx, r)
+            self.global_step += 1
+            logs = {"loss": float(loss),
+                    "learning_rate": float(self.schedule(self.global_step))}
+            history["loss"].append(logs["loss"])
+            for cb in self.callbacks:
+                cb.on_step_end(self, self.global_step, logs)
+            if self.global_step % 100 == 0 or self.global_step == 1:
+                logger.info("LID step %d/%d loss=%.4f (%.1f steps/s, cached)",
+                            self.global_step, args.max_steps, logs["loss"],
+                            self.global_step / (time.time() - t0))
+            if eval_feats is not None and args.eval_steps \
+                    and self.global_step % args.eval_steps == 0:
+                history["eval"].append(
+                    {"step": self.global_step,
+                     **self.evaluate_cached(eval_feats, eval_labels)})
+                if any(getattr(cb, "should_stop", False)
+                       for cb in self.callbacks):
+                    break
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+        return history
+
+    def evaluate_cached(self, feats, labels, batch_size: int = 64) -> dict:
+        """evaluate() over a device-resident feature cache."""
+        ccfg = self.clf_cfg
+        if not hasattr(self, "_eval_cached_step"):
+            def eval_step(params, fb, lb):
+                out = clf.apply_classifier(params, ccfg, fb, labels=lb)
+                return out["loss"], jnp.argmax(out["logits"], axis=-1)
+            self._eval_cached_step = jax.jit(eval_step)
+        for cb in self.callbacks:
+            cb.on_evaluate_begin(self)
+        n = int(feats.shape[0])
+        labels_np = np.asarray(labels)
+        confusion = np.zeros((ccfg.num_classes, ccfg.num_classes), np.int64)
+        losses = []
+        for s in range(0, n, batch_size):
+            e = min(s + batch_size, n)
+            loss, preds = self._eval_cached_step(
+                self.params, feats[s:e], labels[s:e])
+            losses.append(float(loss))
+            for t, p in zip(labels_np[s:e], np.asarray(preds)):
+                confusion[int(t), int(p)] += 1
+        metrics = self._lid_metrics(confusion, losses)
+        for cb in self.callbacks:
+            cb.on_evaluate_end(self, metrics)
+        return metrics
+
+    def _lid_metrics(self, confusion: np.ndarray, losses: list) -> dict:
+        total = confusion.sum()
+        acc = float(np.trace(confusion)) / max(total, 1)
+        per_class = {}
+        for i, lang in enumerate(self.clf_cfg.languages):
+            n = confusion[i].sum()
+            per_class[lang] = float(confusion[i, i]) / max(n, 1)
+        metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
+                   "accuracy": acc, "per_class_accuracy": per_class,
+                   "confusion_matrix": confusion.tolist(),
+                   "num_samples": int(total)}
+        logger.info("LID eval @ %d: acc=%.4f per-class=%s",
+                    self.global_step, round(acc, 4),
+                    {k: round(v, 3) for k, v in per_class.items()})
+        return metrics
+
+    # ------------------------------------------------------------------
     def evaluate(self, eval_loader) -> dict:
         """Accuracy, per-class accuracy, confusion matrix
         (parity with train_router.py:456-531)."""
@@ -263,19 +401,7 @@ class LIDTrainer:
             losses.append(float(loss))
             for t, p in zip(batch["language_ids"], np.asarray(preds)[:B]):
                 confusion[int(t), int(p)] += 1
-        total = confusion.sum()
-        acc = float(np.trace(confusion)) / max(total, 1)
-        per_class = {}
-        for i, lang in enumerate(self.clf_cfg.languages):
-            n = confusion[i].sum()
-            per_class[lang] = float(confusion[i, i]) / max(n, 1)
-        metrics = {"eval_loss": float(np.mean(losses)) if losses else float("nan"),
-                   "accuracy": acc, "per_class_accuracy": per_class,
-                   "confusion_matrix": confusion.tolist(),
-                   "num_samples": int(total)}
-        logger.info("LID eval @ %d: acc=%.4f per-class=%s",
-                    self.global_step, round(acc, 4),
-                    {k: round(v, 3) for k, v in per_class.items()})
+        metrics = self._lid_metrics(confusion, losses)
         for cb in self.callbacks:
             cb.on_evaluate_end(self, metrics)
         return metrics

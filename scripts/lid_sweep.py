@@ -119,6 +119,11 @@ def main(argv=None):
 
     results = []
     for layer in args.layers:
+        # Frozen-encoder features depend on the tap layer but not the
+        # pooling: compute them ONCE per layer and train every head on the
+        # device-resident cache (LIDTrainer.train_cached — no per-step mel
+        # transfer or encoder FLOPs).
+        feats_cache = None
         for pooling in args.poolings:
             ccfg = clf.ClassifierConfig(
                 input_dim=cfg.d_model, num_classes=len(args.languages),
@@ -130,12 +135,19 @@ def main(argv=None):
                 warmup_steps=args.warmup_steps, max_steps=args.max_steps,
                 eval_steps=0, encoder_layer=layer, seed=args.seed)
             trainer = LIDTrainer(cfg, params, clf_params, ccfg, targs)
+            if feats_cache is None:
+                feats_cache = (
+                    trainer.precompute_features(
+                        DataLoader(train_lid, args.batch_size, coll,
+                                   shuffle=False, drop_last=False)),
+                    trainer.precompute_features(
+                        DataLoader(eval_lid, args.batch_size, coll,
+                                   shuffle=False, drop_last=False)))
+            (tr_f, tr_l), (ev_f, ev_l) = feats_cache
             t0 = time.perf_counter()
-            trainer.train(DataLoader(train_lid, args.batch_size, coll,
-                                     seed=args.seed))
+            trainer.train_cached(tr_f, tr_l, batch_size=args.batch_size)
             train_s = time.perf_counter() - t0
-            m = trainer.evaluate(DataLoader(eval_lid, args.batch_size, coll,
-                                            shuffle=False, drop_last=False))
+            m = trainer.evaluate_cached(ev_f, ev_l)
             row = {"encoder_layer": layer, "pooling": pooling,
                    "accuracy": round(m["accuracy"], 4),
                    "per_class_accuracy":

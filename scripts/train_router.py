@@ -69,6 +69,13 @@ def parse_args(argv=None):
     p.add_argument("--no_wandb", action="store_true")
     p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--cache_features", action="store_true",
+                   help="Precompute the frozen-encoder features once and "
+                        "train the head on the device-resident cache (the "
+                        "encoder never trains, so its outputs are constant; "
+                        "the reference re-extracts them every step). "
+                        "Single-host; cache is [N, T_enc, d_model] bf16 in "
+                        "HBM — size the corpus accordingly")
     p.add_argument("--resume_from", type=str, default=None,
                    help="Checkpoint dir (train_router.py output or its "
                         "classifier/ subdir) to resume from")
@@ -190,7 +197,22 @@ def main(argv=None):
         trainer.load_checkpoint(args.resume_from)
         logger.info("resumed from %s at step %d", args.resume_from,
                     trainer.global_step)
-    history = trainer.train(train_loader, eval_loader)
+    if args.cache_features:
+        if mesh is not None:
+            raise SystemExit("--cache_features is a single-host fast path; "
+                             "drop it when training on a mesh")
+        logger.info("precomputing frozen-encoder features (layer %d) ...",
+                    args.encoder_layer)
+        tr_feats, tr_labels = trainer.precompute_features(train_loader)
+        ev_feats, ev_labels = trainer.precompute_features(eval_loader)
+        logger.info("cached %d train / %d eval feature rows on device",
+                    tr_feats.shape[0], ev_feats.shape[0])
+        history = trainer.train_cached(tr_feats, tr_labels,
+                                       batch_size=args.batch_size,
+                                       eval_feats=ev_feats,
+                                       eval_labels=ev_labels)
+    else:
+        history = trainer.train(train_loader, eval_loader)
 
     trainer.save_checkpoint(out / "classifier")
     (out / "history.json").write_text(json.dumps(

@@ -145,6 +145,42 @@ def test_lid_training_learns(world):
     assert len(hist["eval"][-1]["confusion_matrix"]) == 2
 
 
+def test_lid_cached_features_path(world):
+    """train_cached/evaluate_cached (frozen-encoder feature cache) learn the
+    same task as the streaming path and evaluate_cached agrees with
+    evaluate() on identical params."""
+    cfg, params = world
+    datasets = {l: SyntheticASRDataset(cfg, size=24, language=l, language_id=i,
+                                       seed=i)
+                for i, l in enumerate(LANGS)}
+    ds = LIDDataset(datasets, LANGS, balance=True)
+    coll = LIDCollator()
+    loader = DataLoader(ds, batch_size=16, collator=coll, shuffle=False,
+                        drop_last=False)
+    ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, hidden_dims=(32,),
+                                num_classes=2, dropout=0.0, languages=LANGS)
+    p = clf.init_classifier(jax.random.PRNGKey(5), ccfg)
+    trainer = LIDTrainer(cfg, params, p, ccfg,
+                         LIDTrainingArgs(learning_rate=5e-3, weight_decay=0.0,
+                                         warmup_steps=5, max_steps=150,
+                                         eval_steps=150, scheduler="constant",
+                                         mixed_precision="no"))
+    feats, labels = trainer.precompute_features(loader)
+    assert feats.shape[0] == len(ds) and labels.shape == (len(ds),)
+
+    # evaluate_cached == evaluate on the SAME (untrained) params.
+    m_stream = trainer.evaluate(loader)
+    m_cached = trainer.evaluate_cached(feats, labels)
+    assert m_cached["confusion_matrix"] == m_stream["confusion_matrix"]
+    assert abs(m_cached["accuracy"] - m_stream["accuracy"]) < 1e-9
+
+    hist = trainer.train_cached(feats, labels, batch_size=16,
+                                eval_feats=feats, eval_labels=labels)
+    acc0 = hist["eval"][0]["accuracy"]
+    acc1 = hist["eval"][-1]["accuracy"]
+    assert acc1 > max(acc0, 0.9), f"cached LID did not learn: {acc0} -> {acc1}"
+
+
 def test_lid_checkpoint_resume(world, tmp_path):
     """save_checkpoint stores optimizer state + step; load_checkpoint restores
     them (parity with the reference's training_state.pt,
