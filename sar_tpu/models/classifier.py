@@ -46,6 +46,12 @@ class ClassifierConfig:
     label_smoothing: float = 0.0
     languages: tuple[str, ...] = ("hindi", "italian", "punjabi", "telugu")
     class_weights: tuple[float, ...] | None = None
+    # Which encoder layer the head was TRAINED to consume (-1 = final
+    # post-LN output). Stored in the config so inference paths (router,
+    # serving) tap the same layer the checkpoint was trained at — the
+    # reference leaves this implicit in run scripts, which silently
+    # mismatches when --encoder_layer != -1. Old checkpoints load as -1.
+    encoder_layer: int = -1
 
     def lang_to_idx(self, lang: str) -> int:
         return self.languages.index(lang)

@@ -66,8 +66,10 @@ class AdapterRouter:
 
     # -- LID ---------------------------------------------------------------
     def extract_encoder_features(self, input_features: jnp.ndarray) -> jnp.ndarray:
-        """Frozen base-encoder features (parity with :536-548)."""
+        """Frozen base-encoder features at the tap layer the classifier was
+        trained on (parity with :536-548)."""
         return clf.encode_features(self.base_params, input_features, self.cfg,
+                                   layer_index=self.clf_cfg.encoder_layer,
                                    flash=self.flash)
 
     def detect_language(self, encoder_hidden_states) -> tuple[list[str], jnp.ndarray]:

@@ -152,8 +152,10 @@ class TranscriptionService:
                     audio, cfg.num_mel_bins,
                     dtype=jax.tree.leaves(params)[0].dtype)
                 feats = feats[:, :, :cfg.num_audio_frames]
-                hid = clf.encode_features(params, feats, cfg,
-                                          flash=self.flash)
+                hid = clf.encode_features(
+                    params, feats, cfg,
+                    layer_index=router.clf_cfg.encoder_layer,
+                    flash=self.flash)
                 idx, probs = clf.predict(router.clf_params, router.clf_cfg,
                                          hid)
                 idx = idx.astype(jnp.int32)

@@ -99,6 +99,13 @@ class LIDTrainer:
         self.cfg = model_cfg
         self.clf_cfg = clf_cfg
         self.args = args or LIDTrainingArgs()
+        if clf_cfg.encoder_layer != self.args.encoder_layer:
+            raise ValueError(
+                f"ClassifierConfig.encoder_layer={clf_cfg.encoder_layer} != "
+                f"LIDTrainingArgs.encoder_layer={self.args.encoder_layer}; "
+                "the tap layer is saved with the classifier so inference "
+                "extracts the features the head was trained on — set both "
+                "to the same value")
         self.callbacks = callbacks or []
         # Optional device mesh: the LID step's cost is dominated by the
         # FROZEN encoder forward, so the same DPxTP sharding as ASRTrainer
@@ -439,6 +446,11 @@ class LIDTrainer:
         if (path / "classifier").exists():      # train_router.py output root
             path = path / "classifier"
         self.params, self.clf_cfg, _ = clf.load_classifier(path)
+        if self.clf_cfg.encoder_layer != self.args.encoder_layer:
+            raise ValueError(
+                f"checkpoint was trained at encoder_layer="
+                f"{self.clf_cfg.encoder_layer} but --encoder_layer is "
+                f"{self.args.encoder_layer}; resume with the matching value")
         self.params = jax.tree.map(
             lambda x: jnp.asarray(x, jnp.float32), self.params)
         if (path / "train_state").exists():

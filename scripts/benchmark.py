@@ -235,7 +235,8 @@ def run_routed(cfg, params, batch, max_new_tokens, iters, kv, n_languages,
          for i in range(n_languages)])
     ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, dropout=0.0,
                                 num_classes=n_languages,
-                                languages=tuple(langs))
+                                languages=tuple(langs),
+                                encoder_layer=lid_layer)
     clf_params = clf.init_classifier(jax.random.PRNGKey(42), ccfg)
     prompts = jnp.asarray([cfg.prompt_ids(l) for l in langs], jnp.int32)
 

@@ -127,7 +127,8 @@ def main(argv=None):
         for pooling in args.poolings:
             ccfg = clf.ClassifierConfig(
                 input_dim=cfg.d_model, num_classes=len(args.languages),
-                pooling=pooling, languages=tuple(args.languages))
+                pooling=pooling, languages=tuple(args.languages),
+                encoder_layer=layer)
             clf_params = clf.init_classifier(jax.random.PRNGKey(args.seed),
                                              ccfg)
             targs = LIDTrainingArgs(

@@ -163,7 +163,8 @@ def main(argv=None):
         num_classes=len(args.languages), dropout=args.dropout,
         pooling=args.pooling, use_cnn=args.use_cnn,
         label_smoothing=args.label_smoothing,
-        languages=tuple(args.languages), class_weights=class_weights)
+        languages=tuple(args.languages), class_weights=class_weights,
+        encoder_layer=args.encoder_layer)
     clf_params = clf.init_classifier(jax.random.PRNGKey(args.seed), ccfg)
 
     coll = LIDCollator(num_mels=cfg.num_mel_bins,

@@ -181,6 +181,43 @@ def test_lid_cached_features_path(world):
     assert acc1 > max(acc0, 0.9), f"cached LID did not learn: {acc0} -> {acc1}"
 
 
+def test_encoder_layer_travels_with_classifier(world, tmp_path, rng):
+    """The tap layer is part of ClassifierConfig: it survives save/load,
+    inference paths honor it, and LIDTrainer refuses a mismatched pairing
+    (a head trained on layer-k features must never be fed layer -1 ones)."""
+    cfg, params = world
+    ccfg = clf.ClassifierConfig(input_dim=cfg.d_model, hidden_dims=(16,),
+                                num_classes=2, languages=LANGS,
+                                encoder_layer=0)
+    p = clf.init_classifier(jax.random.PRNGKey(0), ccfg)
+    clf.save_classifier(tmp_path / "c", p, ccfg)
+    _, loaded, _ = clf.load_classifier(tmp_path / "c")
+    assert loaded.encoder_layer == 0
+    # Old checkpoints (no encoder_layer key) default to -1.
+    legacy = clf.ClassifierConfig.from_dict(
+        {k: v for k, v in ccfg.to_dict().items() if k != "encoder_layer"})
+    assert legacy.encoder_layer == -1
+
+    # Router feature extraction taps the configured layer.
+    from sar_tpu.models import lora as lora_lib
+    lcfg = lora_lib.LoraConfig(r=2, alpha=4)
+    bank = lora_lib.stack_adapters(
+        [lora_lib.init_lora(jax.random.PRNGKey(i), cfg, lcfg)
+         for i in range(2)])
+    router = AdapterRouter(cfg=cfg, base_params=params, bank=bank,
+                           lora_cfg=lcfg, clf_params=p, clf_cfg=ccfg)
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, cfg.num_mel_bins, cfg.num_audio_frames)), jnp.float32)
+    got = router.extract_encoder_features(mel)
+    want = clf.encode_features(params, mel, cfg, layer_index=0, flash=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="encoder_layer"):
+        LIDTrainer(cfg, params, p, ccfg,
+                   LIDTrainingArgs(encoder_layer=-1, mixed_precision="no"))
+
+
 def test_lid_checkpoint_resume(world, tmp_path):
     """save_checkpoint stores optimizer state + step; load_checkpoint restores
     them (parity with the reference's training_state.pt,
